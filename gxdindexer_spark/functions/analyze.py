@@ -1,0 +1,129 @@
+"""Code-aware text analysis (tokenizers), pandas-vectorized.
+
+The reference ships raw strings to Solr and lets the Solr schema's
+analyzers tokenize (SURVEY.md §2.9); its Java-side emulation of
+copyField — concatenating symbol + name + synonyms into one searchable
+field (GxdResultIndexer.java:1046-1049,1114-1118) — is the model for
+our *fielded document*: ``content``, ``path``, ``lang`` are analyzed
+into separate per-field postings and combined at score time with the
+boost ladder (functions/bm25.py).
+
+All entry points take/return pandas objects and use ``pd.Series.str``
+batch ops — they are meant to run inside Arrow-batched ``mapInPandas``
+/ ``pandas_udf`` workers, never as per-row Python UDFs
+(BASELINE.json input_hint).
+
+Tokenizer contract (kept in lock-step with the pure-python oracle in
+tests and the DuckDB oracle SQL):
+
+* ``simple``  : lowercase, split on non-alphanumerics, drop empties.
+* ``code``    : ``simple`` plus word-delimiter behavior — every raw
+  ``[A-Za-z0-9_]+`` token emits its lowercased self, and, when it
+  splits on camelCase / snake_case / digit boundaries into more than
+  one part, also each lowercased part (Lucene
+  WordDelimiterGraphFilter's preserveOriginal+generateWordParts,
+  public contract).
+* ``path``    : like ``code`` but also splits on ``/ . -``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+RAW_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# camelCase / ALLCAPS / digit-run sub-token splitter
+SUB_TOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
+PATH_SEP_RE = re.compile(r"[/.\-_]+")
+
+
+def simple_tokens(text: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]]: lowercase alnum tokens."""
+    return text.fillna("").str.lower().str.findall(SIMPLE_TOKEN_RE)
+
+
+def _split_parts(tokens: pd.Series) -> pd.Series:
+    """Series[str raw token] -> Series[list[str] lowercased parts]."""
+    parts = tokens.str.findall(SUB_TOKEN_RE)
+    return parts.map(lambda ps: [p.lower() for p in ps])
+
+
+def code_tokens(text: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] code-aware tokens.
+
+    Emits lowercased originals in document order, then appends the
+    sub-token expansions of any token that split into >1 part.
+    """
+    raw = text.fillna("").str.findall(RAW_TOKEN_RE)
+
+    def one(toks: list[str]) -> list[str]:
+        out = [t.lower() for t in toks]
+        for t in toks:
+            ps = SUB_TOKEN_RE.findall(t)
+            if len(ps) > 1:
+                out.extend(p.lower() for p in ps)
+        return out
+
+    return raw.map(one)
+
+
+def path_tokens(text: pd.Series) -> pd.Series:
+    """Path field: split on separators, then code-aware expansion."""
+    return code_tokens(text.fillna("").str.replace(PATH_SEP_RE, " ", regex=True))
+
+
+def lang_tokens(text: pd.Series) -> pd.Series:
+    return text.fillna("").str.lower().str.strip().map(lambda s: [s] if s else [])
+
+
+TOKENIZERS = {
+    "simple": simple_tokens,
+    "code": code_tokens,
+    "path": path_tokens,
+    "lang": lang_tokens,
+}
+
+
+def term_freqs(
+    doc_ids: pd.Series, texts: pd.Series, tokenizer: str = "code"
+) -> pd.DataFrame:
+    """Batch (doc_id, text) -> DataFrame(doc_id, term, tf, dl).
+
+    ``dl`` (doc length in tokens) is replicated per term row so the
+    posting build can compute tf-norms without a second join.
+    Vectorized: explode + groupby, no per-row loops outside the
+    regex scan itself.
+    """
+    toks = TOKENIZERS[tokenizer](texts)
+    dl = toks.map(len).astype(np.int64)
+    frame = pd.DataFrame(
+        {"doc_id": doc_ids.to_numpy(), "term": toks, "dl": dl.to_numpy()}
+    )
+    frame = frame.explode("term", ignore_index=True)
+    frame = frame[frame["term"].notna()]
+    if frame.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "dl": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        frame.groupby(["doc_id", "term", "dl"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    return out[["doc_id", "term", "tf", "dl"]]
+
+
+def tokenize_query(query: str, tokenizer: str = "code") -> list[str]:
+    """Query-side analysis — must match the index-side analyzer
+    (SURVEY.md §3.4). Dedups while preserving order."""
+    toks = TOKENIZERS[tokenizer](pd.Series([query])).iloc[0]
+    return list(dict.fromkeys(toks))

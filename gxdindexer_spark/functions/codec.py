@@ -1,0 +1,270 @@
+"""Posting-list physical codec: delta + varbyte compressed blocks with
+skip pointers and block-max metadata.
+
+This is the from-scratch artifact the reference delegates to Lucene
+(the reference repo ships documents to Solr and never touches postings;
+see /root/reference README.md:2). Everything here is pure numpy so it
+can run inside Arrow-batched ``applyInPandas`` workers with no per-row
+Python (BASELINE.json input_hint).
+
+Layout per (field, term, shard):
+
+* doc ids are sorted ascending, delta-encoded (first id absolute),
+  then varbyte-compressed per block of ``BLOCK_SIZE`` docs;
+* term frequencies are varbyte-compressed per block (no delta);
+* per block we keep ``first_doc``, ``last_doc`` (skip pointers) and
+  ``max_tf_norm`` — the maximum length-normalized tf in the block,
+  which multiplied by the term idf gives the block-max score bound
+  used by block-max WAND (Ding & Suel, WWW'11).
+
+Varbyte convention: little-endian groups of 7 bits, MSB set on every
+byte except the last of a value ("more bytes follow").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------- varbyte
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array -> bytes.
+
+    Loops over byte *positions* (<= 10), never over values.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value: max(1, ceil(bitlen/7))
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # bit length via successive shifts (at most 10 iterations for 64-bit)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.empty(total, dtype=np.uint8)
+    starts = ends - nbytes
+    maxb = int(nbytes.max())
+    for pos in range(maxb):
+        mask = nbytes > pos
+        idx = starts[mask] + pos
+        chunk = (v[mask] >> np.uint64(7 * pos)) & np.uint64(0x7F)
+        is_last = (nbytes[mask] - 1) == pos
+        out[idx] = chunk.astype(np.uint8) | np.where(is_last, 0, 0x80).astype(
+            np.uint8
+        )
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # value index for each byte: number of completed values before it
+    val_idx = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=val_idx[1:])
+    n_vals = int(is_last.sum())
+    # position of byte within its value = idx - start_of_value
+    starts = np.zeros(n_vals, dtype=np.int64)
+    ends = np.flatnonzero(is_last)
+    starts[1:] = ends[:-1] + 1
+    pos_in_val = np.arange(b.size, dtype=np.int64) - starts[val_idx]
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(
+        out,
+        val_idx,
+        (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos_in_val).astype(np.uint64),
+    )
+    if count is not None and n_vals != count:
+        raise ValueError(f"decoded {n_vals} values, expected {count}")
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """ascending int64 ids -> gaps (first absolute). Raises if unsorted."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return a.astype(np.uint64)
+    d = np.diff(a)
+    if (d <= 0).any():
+        raise ValueError("doc ids must be strictly ascending")
+    out = np.empty(a.size, dtype=np.uint64)
+    out[0] = np.uint64(a[0])
+    out[1:] = d.astype(np.uint64)
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64))
+
+
+# ---------------------------------------------------------------- blocks
+
+
+@dataclass
+class PostingList:
+    """Decoded-header posting list; payload bytes decoded per block."""
+
+    term: str
+    df: int
+    block_first: np.ndarray  # int64 per block (skip pointer lo)
+    block_last: np.ndarray  # int64 per block (skip pointer hi)
+    block_max_tfn: np.ndarray  # float32 per block (block-max tf-norm)
+    block_count: np.ndarray  # int32 docs per block
+    doc_offsets: np.ndarray  # int64 byte offsets into docs_buf (len = nblocks+1)
+    tf_offsets: np.ndarray  # int64 byte offsets into tfs_buf (len = nblocks+1)
+    docs_buf: bytes
+    tfs_buf: bytes
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_first)
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """-> (doc_ids int64 asc, tfs uint64) for block i."""
+        n = int(self.block_count[i])
+        gaps = varbyte_decode(
+            self.docs_buf[self.doc_offsets[i] : self.doc_offsets[i + 1]], n
+        )
+        docs = delta_decode(gaps)
+        tfs = varbyte_decode(
+            self.tfs_buf[self.tf_offsets[i] : self.tf_offsets[i + 1]], n
+        )
+        return docs, tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        gaps = varbyte_decode(self.docs_buf)
+        tfs = varbyte_decode(self.tfs_buf)
+        docs = np.empty(gaps.size, dtype=np.int64)
+        # gaps are absolute at every block start, so cumsum per block
+        off = 0
+        for i in range(self.n_blocks):
+            n = int(self.block_count[i])
+            docs[off : off + n] = np.cumsum(gaps[off : off + n].astype(np.int64))
+            off += n
+        return docs, tfs
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    tf_norms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one term's docID-sorted postings into compressed blocks.
+
+    ``tf_norms`` is the precomputed length-normalized tf per posting
+    (tf / (tf + k1*(1-b+b*dl/avgdl))) used only for the block-max
+    metadata; it is NOT stored per posting.
+
+    Returns a dict of plain-python/bytes values matching the postings
+    table schema (arrays as lists for Arrow friendliness).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = doc_ids.size
+    nblocks = (n + block_size - 1) // block_size
+    block_first = np.empty(nblocks, dtype=np.int64)
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_max = np.empty(nblocks, dtype=np.float32)
+    block_cnt = np.empty(nblocks, dtype=np.int32)
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    doc_off = [0]
+    tf_off = [0]
+    for i in range(nblocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        ids = doc_ids[lo:hi]
+        block_first[i] = ids[0]
+        block_last[i] = ids[-1]
+        block_cnt[i] = hi - lo
+        block_max[i] = np.float32(tf_norms[lo:hi].max())
+        dchunk = varbyte_encode(delta_encode(ids))
+        tchunk = varbyte_encode(tfs[lo:hi])
+        doc_chunks.append(dchunk)
+        tf_chunks.append(tchunk)
+        doc_off.append(doc_off[-1] + len(dchunk))
+        tf_off.append(tf_off[-1] + len(tchunk))
+    return {
+        "df": n,
+        "cf": int(tfs.sum()),
+        "block_first": block_first.tolist(),
+        "block_last": block_last.tolist(),
+        "block_max_tfn": block_max.tolist(),
+        "block_count": block_cnt.tolist(),
+        "doc_offsets": doc_off,
+        "tf_offsets": tf_off,
+        "docs_buf": b"".join(doc_chunks),
+        "tfs_buf": b"".join(tf_chunks),
+    }
+
+
+def posting_list_from_row(term: str, row: dict) -> PostingList:
+    """Rehydrate a PostingList from a postings-table row (dict-like)."""
+    return PostingList(
+        term=term,
+        df=int(row["df"]),
+        block_first=np.asarray(row["block_first"], dtype=np.int64),
+        block_last=np.asarray(row["block_last"], dtype=np.int64),
+        block_max_tfn=np.asarray(row["block_max_tfn"], dtype=np.float32),
+        block_count=np.asarray(row["block_count"], dtype=np.int32),
+        doc_offsets=np.asarray(row["doc_offsets"], dtype=np.int64),
+        tf_offsets=np.asarray(row["tf_offsets"], dtype=np.int64),
+        docs_buf=bytes(row["docs_buf"]),
+        tfs_buf=bytes(row["tfs_buf"]),
+    )
+
+
+def merge_salted(parts: list[dict]) -> dict:
+    """Merge per-salt partial encodings of ONE term into a single row.
+
+    Salts are doc_id *range* buckets (salt = doc_id // range), so the
+    partial posting lists cover disjoint, ascending docID ranges and can
+    be concatenated block-wise in salt order without re-sorting — the
+    skew-handling merge described in SURVEY.md §4.1. Each part carries
+    its ``salt`` key.
+    """
+    parts = sorted(parts, key=lambda p: p["salt"])
+    # verify disjoint ascending ranges
+    for a, b in zip(parts, parts[1:]):
+        if a["block_last"][-1] >= b["block_first"][0]:
+            raise ValueError("salted parts overlap in docID space")
+    out = {
+        "df": sum(p["df"] for p in parts),
+        "cf": sum(p["cf"] for p in parts),
+        "block_first": [],
+        "block_last": [],
+        "block_max_tfn": [],
+        "block_count": [],
+        "doc_offsets": [0],
+        "tf_offsets": [0],
+        "docs_buf": b"",
+        "tfs_buf": b"",
+    }
+    dbufs, tbufs = [], []
+    for p in parts:
+        d0, t0 = out["doc_offsets"][-1], out["tf_offsets"][-1]
+        out["block_first"] += list(p["block_first"])
+        out["block_last"] += list(p["block_last"])
+        out["block_max_tfn"] += list(p["block_max_tfn"])
+        out["block_count"] += list(p["block_count"])
+        out["doc_offsets"] += [d0 + o for o in p["doc_offsets"][1:]]
+        out["tf_offsets"] += [t0 + o for o in p["tf_offsets"][1:]]
+        dbufs.append(p["docs_buf"])
+        tbufs.append(p["tfs_buf"])
+    out["docs_buf"] = b"".join(dbufs)
+    out["tfs_buf"] = b"".join(tbufs)
+    return out
