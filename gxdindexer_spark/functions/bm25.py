@@ -27,8 +27,12 @@ import numpy as np
 K1 = 1.2
 B = 0.75
 
-# field priority ladder, reference analog of Solr qf/copyField boosts.
-FIELD_PRIORITY = ["content", "path", "lang"]
+# Field priority ladder, reference analog of Solr qf/copyField boosts
+# (highest priority first, like SolrUtils.boost's fieldList). With
+# max_boost=2.25 the ladder lands on lang=2.25, path=1.5, content=1.0 —
+# so a content-only query scores *exactly* unweighted Lucene BM25.
+FIELD_PRIORITY = ["lang", "path", "content"]
+DEFAULT_MAX_BOOST = 2.25
 
 
 def boost(field_list: list[str], field: str, max_boost: float = 1000.0) -> float:
@@ -40,8 +44,8 @@ def boost(field_list: list[str], field: str, max_boost: float = 1000.0) -> float
     return max(w, 1.0)
 
 
-def field_weights(max_boost: float = 4.0) -> dict[str, float]:
-    """Per-field BM25 composition weights w_f (content highest)."""
+def field_weights(max_boost: float = DEFAULT_MAX_BOOST) -> dict[str, float]:
+    """Per-field BM25 composition weights w_f."""
     return {f: boost(FIELD_PRIORITY, f, max_boost) for f in FIELD_PRIORITY}
 
 

@@ -191,7 +191,14 @@ def encode_postings(
         block_first[i] = ids[0]
         block_last[i] = ids[-1]
         block_cnt[i] = hi - lo
-        block_max[i] = np.float32(tf_norms[lo:hi].max())
+        # round UP to float32: the stored bound must never fall below
+        # the float64 tf-norm recomputed at query time, or block-max
+        # pruning would drop true top-k docs.
+        m64 = float(tf_norms[lo:hi].max())
+        m32 = np.float32(m64)
+        if float(m32) < m64:
+            m32 = np.nextafter(m32, np.float32(np.inf))
+        block_max[i] = m32
         dchunk = varbyte_encode(delta_encode(ids))
         tchunk = varbyte_encode(tfs[lo:hi])
         doc_chunks.append(dchunk)

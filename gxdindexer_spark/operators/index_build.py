@@ -1,0 +1,454 @@
+"""Sharded SPIMI inverted-index build (SURVEY.md §7 steps 3-5,7).
+
+Pipeline shape (all Arrow-batched, no per-row Python):
+
+  docs (doc_id, shard, content/path/lang, content_sha256)
+    -> mapInPandas tokenize+tf         (TERM_FREQS rows)
+    -> repartition(shard, field, term, salt) + sortWithinPartitions
+    -> mapInPandas group-aware stream encode   (partial posting rows)
+    -> groupBy(shard, field, term) merge_salted (skew-safe final rows)
+    -> write parquet partitioned by shard
+
+Skew handling (north_rule, SURVEY.md §4.1): stopword-like terms get
+posting lists orders of magnitude longer than the median, so the first
+shuffle is salted with a docID-*range* bucket — sub-lists stay
+disjoint in docID space and the merge is a pure block concatenation in
+salt order, never a re-sort. AQE only fixes *join* skew, not
+groupBy-key skew, hence the explicit salt.
+
+The reference analog of this stage is the chunked extract-assemble-load
+loop in GxdResultIndexer.java:900-1268 (chunks == partitions here) with
+its hand-rolled HashMap broadcast caches (==F.broadcast / broadcast
+vars) and batched Solr sink (==task-level parquet writes); the posting
+format itself has no reference analog — the reference delegates it to
+Lucene.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gxdindexer_spark import schemas
+from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.functions.codec import encode_postings, merge_salted
+
+DEFAULT_FIELDS = {"content": "code", "path": "path", "lang": "lang"}
+
+
+def term_freqs_df(
+    docs: DataFrame, fields: dict[str, str] | None = None
+) -> DataFrame:
+    """docs -> (doc_id, shard, field, term, tf, dl) via one tokenize pass."""
+    fields = fields or DEFAULT_FIELDS
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            shard_of = pdf.set_index("doc_id")["shard"]
+            for field, tokenizer in fields.items():
+                tf = analyze.term_freqs(pdf["doc_id"], pdf[field], tokenizer)
+                if not len(tf):
+                    continue
+                tf.insert(1, "shard", shard_of.loc[tf["doc_id"]].to_numpy())
+                tf.insert(2, "field", field)
+                yield tf[["doc_id", "shard", "field", "term", "tf", "dl"]]
+
+    cols = ["doc_id", "shard"] + list(fields)
+    return docs.select(*cols).mapInPandas(tok, schema=schemas.TERM_FREQS)
+
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _pack_partial(row: dict) -> bytes:
+    """Serialize a partial encoding dict to bytes (json header + bufs)."""
+    head = {
+        k: row[k]
+        for k in (
+            "salt",
+            "df",
+            "cf",
+            "block_first",
+            "block_last",
+            "block_max_tfn",
+            "block_count",
+            "doc_offsets",
+            "tf_offsets",
+        )
+    }
+    hb = json.dumps(head).encode()
+    return (
+        len(hb).to_bytes(4, "little")
+        + hb
+        + len(row["docs_buf"]).to_bytes(8, "little")
+        + row["docs_buf"]
+        + row["tfs_buf"]
+    )
+
+
+def _unpack_partial(buf: bytes) -> dict:
+    hlen = int.from_bytes(buf[:4], "little")
+    head = json.loads(buf[4 : 4 + hlen].decode())
+    dlen = int.from_bytes(buf[4 + hlen : 12 + hlen], "little")
+    head["docs_buf"] = bytes(buf[12 + hlen : 12 + hlen + dlen])
+    head["tfs_buf"] = bytes(buf[12 + hlen + dlen :])
+    return head
+
+
+class IndexBuilder:
+    """Builds and persists the index artifacts for a docs DataFrame.
+
+    Parameters mirror the scale knobs: ``docs_per_shard`` bounds the
+    docID range per scatter-gather shard; ``salt_range`` bounds the
+    docID range per salted sub-list (so the heaviest term contributes
+    at most ``salt_range`` postings to any one shuffle partition);
+    ``block_size`` is the posting block length (skip-pointer grain).
+    """
+
+    def __init__(
+        self,
+        fields: dict[str, str] | None = None,
+        docs_per_shard: int = 1_000_000,
+        salt_range: int = 65_536,
+        block_size: int = 128,
+        k1: float = bm25.K1,
+        b: float = bm25.B,
+    ):
+        self.fields = fields or DEFAULT_FIELDS
+        self.docs_per_shard = docs_per_shard
+        self.salt_range = salt_range
+        self.block_size = block_size
+        self.k1 = k1
+        self.b = b
+
+    # ------------------------------------------------------------ build
+
+    def postings_df(self, tf: DataFrame, avgdl: dict[str, float]) -> DataFrame:
+        """TERM_FREQS -> final POSTINGS rows (salted two-phase)."""
+        spark = tf.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        b_avgdl = spark.sparkContext.broadcast(avgdl)
+        k1, b_, bs = self.k1, self.b, self.block_size
+        salted = tf.withColumn(
+            "salt", (F.col("doc_id") / self.salt_range).cast("int")
+        )
+        keys = ["shard", "field", "term", "salt"]
+        arranged = salted.repartition(n_parts, *keys).sortWithinPartitions(
+            *keys, "doc_id"
+        )
+
+        def encode_stream(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            """Group-aware streaming encoder: pandas-groupby within each
+            Arrow batch, carrying the (possibly split) last group over
+            to the next batch so memory stays bounded by group size,
+            not partition size."""
+            carry: pd.DataFrame | None = None
+            avg = b_avgdl.value
+
+            def emit(chunk: pd.DataFrame) -> pd.DataFrame:
+                recs = {k: [] for k in ("shard", "field", "term", "salt", "payload")}
+                for (sh, fl, tm, sa), g in chunk.groupby(
+                    ["shard", "field", "term", "salt"], sort=False
+                ):
+                    tfs = g["tf"].to_numpy(np.uint64)
+                    tfn = bm25.tf_norm(
+                        tfs, g["dl"].to_numpy(np.float64), avg[fl], k1, b_
+                    )
+                    row = encode_postings(
+                        g["doc_id"].to_numpy(np.int64), tfs, tfn, bs
+                    )
+                    row["salt"] = int(sa)
+                    recs["shard"].append(sh)
+                    recs["field"].append(fl)
+                    recs["term"].append(tm)
+                    recs["salt"].append(sa)
+                    recs["payload"].append(_pack_partial(row))
+                return pd.DataFrame(recs)
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                # split off the trailing group (may continue next batch)
+                last_key = tuple(
+                    pdf.iloc[-1][["shard", "field", "term", "salt"]]
+                )
+                tail_mask = (
+                    (pdf["shard"] == last_key[0])
+                    & (pdf["field"] == last_key[1])
+                    & (pdf["term"] == last_key[2])
+                    & (pdf["salt"] == last_key[3])
+                )
+                # rows of the last group are contiguous at the end
+                n_tail = int(tail_mask[::-1].cummin()[::-1].sum())
+                head, carry = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[
+                    len(pdf) - n_tail :
+                ]
+                if len(head):
+                    yield emit(head)
+            if carry is not None and len(carry):
+                yield emit(carry)
+
+        partials = arranged.mapInPandas(encode_stream, schema=_PARTIAL_SCHEMA)
+
+        def merge(
+            key: tuple, g: pd.DataFrame
+        ) -> pd.DataFrame:  # grouped-map: one term, all salts
+            parts = [_unpack_partial(p) for p in g["payload"]]
+            m = merge_salted(parts)
+            return pd.DataFrame(
+                [
+                    {
+                        "shard": key[0],
+                        "field": key[1],
+                        "term": key[2],
+                        "df": m["df"],
+                        "cf": m["cf"],
+                        "block_first": m["block_first"],
+                        "block_last": m["block_last"],
+                        "block_max_tfn": m["block_max_tfn"],
+                        "block_count": m["block_count"],
+                        "doc_offsets": m["doc_offsets"],
+                        "tf_offsets": m["tf_offsets"],
+                        "docs_buf": m["docs_buf"],
+                        "tfs_buf": m["tfs_buf"],
+                    }
+                ]
+            )
+
+        return partials.groupBy("shard", "field", "term").applyInPandas(
+            merge, schema=schemas.POSTINGS
+        )
+
+    # ------------------------------------------------- full build + write
+
+    def build(
+        self,
+        docs: DataFrame,
+        index_dir: str,
+        resume: bool = True,
+    ) -> dict:
+        """Build (or resume) the index for ``docs`` into ``index_dir``.
+
+        Returns a metrics dict (docs/sec, postings/sec, bytes).
+        Resumability (north_rule): per-shard lineage entries are written
+        after the shard's artifacts commit; a re-run skips shards whose
+        ledger entry matches the input fingerprint (SURVEY.md §4.4).
+        """
+        spark = docs.sparkSession
+        t0 = time.monotonic()
+        os.makedirs(f"{index_dir}/ledger", exist_ok=True)
+
+        # input fingerprint per shard: order-insensitive xor/sum over
+        # content hashes — cheap, deterministic, partition-parallel.
+        fp = (
+            docs.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.crc32(F.col("content_sha256"))).alias("fp_sum"),
+            )
+            .collect()
+        )
+        shard_fp = {
+            int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}" for r in fp
+        }
+        done = self._read_ledger(index_dir)
+        pending = sorted(
+            s
+            for s, f in shard_fp.items()
+            if not (resume and done.get(s, {}).get("input_fingerprint") == f
+                    and done.get(s, {}).get("status") == "done")
+        )
+        metrics = {
+            "shards_total": len(shard_fp),
+            "shards_built": len(pending),
+            "shards_skipped": len(shard_fp) - len(pending),
+        }
+        avgdl: dict[str, float] = {}
+        if pending:
+            # a crashed prior run may have left partial shard partitions;
+            # wipe pending shards' artifacts so append stays exactly-once
+            # (the reference's full-rebuild deleteByQuery analog, but
+            # scoped to un-committed shards — Indexer.java:83-88).
+            for art in ("docs", "doc_stats", "postings"):
+                for s in pending:
+                    shutil.rmtree(
+                        f"{index_dir}/{art}/shard={s}", ignore_errors=True
+                    )
+            sub = docs.filter(F.col("shard").isin(pending))
+            # doc store (carries content_sha256 invariant end-to-end)
+            sub.write.mode("append").partitionBy("shard").parquet(
+                f"{index_dir}/docs"
+            )
+            tf = term_freqs_df(sub, self.fields)
+            # doc_stats + corpus stats from one aggregate each
+            doc_stats = (
+                tf.groupBy("doc_id", "field", "shard")
+                .agg(F.first("dl").alias("dl"))
+                .select("doc_id", "field", "dl", "shard")
+            )
+            doc_stats.write.mode("append").partitionBy("shard").parquet(
+                f"{index_dir}/doc_stats"
+            )
+            # avgdl must be GLOBAL (all shards incl. previously built)
+            all_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+            cs = (
+                all_stats.groupBy("field")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                    (F.sum("dl") / F.count("*")).alias("avgdl"),
+                )
+                .collect()
+            )
+            avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+            postings = self.postings_df(tf, avgdl)
+            postings.write.mode("append").partitionBy("shard").parquet(
+                f"{index_dir}/postings"
+            )
+        self._finalize_stats(spark, index_dir)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        # ledger entries (per shard, atomic rename)
+        built = self._shard_metrics(spark, index_dir, pending)
+        for s in pending:
+            m = built.get(s, {"n_docs": 0, "n_postings": 0, "bytes": 0})
+            self._write_ledger_entry(
+                index_dir,
+                {
+                    "shard": s,
+                    "input_fingerprint": shard_fp[s],
+                    "status": "done",
+                    "n_docs": m["n_docs"],
+                    "n_postings": m["n_postings"],
+                    "bytes_compressed": m["bytes"],
+                    "wall_ms": wall_ms,
+                    # avgdl in force when this shard's block-max metadata
+                    # was computed; the WAND path disables block pruning
+                    # (falls back to exact TAAT) if global avgdl drifted.
+                    "avgdl_at_build": avgdl,
+                },
+            )
+        total_docs = sum(v["n_docs"] for v in built.values())
+        total_postings = sum(v["n_postings"] for v in built.values())
+        metrics.update(
+            n_docs=total_docs,
+            n_postings=total_postings,
+            bytes_compressed=sum(v["bytes"] for v in built.values()),
+            wall_sec=wall_ms / 1000,
+            docs_per_sec=total_docs / max(wall_ms / 1000, 1e-9),
+            postings_per_sec=total_postings / max(wall_ms / 1000, 1e-9),
+        )
+        with open(f"{index_dir}/manifest.json", "w") as fh:
+            json.dump(
+                {
+                    "fields": self.fields,
+                    "docs_per_shard": self.docs_per_shard,
+                    "block_size": self.block_size,
+                    "k1": self.k1,
+                    "b": self.b,
+                    "shard_fingerprints": shard_fp,
+                    "metrics": metrics,
+                },
+                fh,
+                indent=2,
+            )
+        return metrics
+
+    def _finalize_stats(self, spark: SparkSession, index_dir: str) -> None:
+        """(Re)derive global dictionary + corpus_stats from artifacts —
+        correct under resume because they aggregate ALL shards."""
+        postings = spark.read.parquet(f"{index_dir}/postings")
+        (
+            postings.groupBy("field", "term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/dictionary")
+        )
+        doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+        (
+            doc_stats.groupBy("field")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+                (F.sum("dl") / F.count("*")).alias("avgdl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/corpus_stats")
+        )
+
+    def _shard_metrics(
+        self, spark: SparkSession, index_dir: str, shards: list[int]
+    ) -> dict[int, dict]:
+        if not shards:
+            return {}
+        p = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .filter(F.col("shard").isin(shards))
+            .groupBy("shard")
+            .agg(
+                F.sum("df").alias("n_postings"),
+                F.sum(
+                    F.length("docs_buf") + F.length("tfs_buf")
+                ).alias("bytes"),
+            )
+        )
+        d = (
+            spark.read.parquet(f"{index_dir}/doc_stats")
+            .filter(F.col("shard").isin(shards))
+            .groupBy("shard")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+        )
+        out: dict[int, dict] = {}
+        for r in p.join(d, "shard", "outer").collect():
+            out[int(r["shard"])] = {
+                "n_postings": int(r["n_postings"] or 0),
+                "bytes": int(r["bytes"] or 0),
+                "n_docs": int(r["n_docs"] or 0),
+            }
+        return out
+
+    # ------------------------------------------------------------ ledger
+
+    @staticmethod
+    def _read_ledger(index_dir: str) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        ldir = f"{index_dir}/ledger"
+        if not os.path.isdir(ldir):
+            return out
+        for fn in os.listdir(ldir):
+            if fn.endswith(".json"):
+                with open(f"{ldir}/{fn}") as fh:
+                    e = json.load(fh)
+                out[int(e["shard"])] = e
+        return out
+
+    @staticmethod
+    def _write_ledger_entry(index_dir: str, entry: dict) -> None:
+        path = f"{index_dir}/ledger/shard={entry['shard']}.json"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, path)  # atomic commit of the lineage record

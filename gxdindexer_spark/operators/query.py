@@ -1,0 +1,195 @@
+"""Distributed top-k BM25 retrieval over the persisted index.
+
+Lifecycle (SURVEY.md §3.4):
+
+  query string -> per-field tokenize (same analyzers as indexing)
+    -> dictionary lookup (term -> global df)        [driver; tiny scan]
+    -> postings scan filtered to query terms        [parquet predicate
+       pushdown on `term`/`field`; shard partition dirs prune I/O]
+    -> cogroup with doc_stats by shard -> applyInPandas per shard:
+       block-max WAND (or exact TAAT) local top-k   [scatter]
+    -> global orderBy(score desc, doc_id asc).limit(k)   [gather]
+
+The driver-side dictionary lookup is the analog of the reference's
+broadcast HashMap caches (GxdResultIndexer.java:91-272): the per-term
+stats are tiny (|query terms| rows) and close over the Arrow workers
+as a broadcast QuerySpec.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.operators import wand as wand_mod
+
+_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class IndexQueryEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(f"{index_dir}/manifest.json") as fh:
+            self.manifest = json.load(fh)
+        self.fields: dict[str, str] = self.manifest["fields"]
+        cs = spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        self.n_docs = {r["field"]: int(r["n_docs"]) for r in cs}
+        self.avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+        self.weights = {
+            f: w for f, w in bm25.field_weights().items() if f in self.fields
+        }
+        # fields outside the standard ladder get weight 1.0
+        for f in self.fields:
+            self.weights.setdefault(f, 1.0)
+
+    # ------------------------------------------------------------ plan
+
+    def analyze_query(self, query: str, fields: list[str] | None = None):
+        """-> {(field, term)} with per-field analyzers (index parity)."""
+        fields = fields or list(self.fields)
+        pairs = []
+        for f in fields:
+            for t in analyze.tokenize_query(query, self.fields[f]):
+                pairs.append((f, t))
+        return pairs
+
+    def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
+        """Global df per (field, term) from the dictionary — the idf
+        input. Scan is pruned to the query terms (pushed filters)."""
+        terms = sorted({t for _f, t in pairs})
+        flds = sorted({f for f, _t in pairs})
+        d = (
+            self.spark.read.parquet(f"{self.index_dir}/dictionary")
+            .filter(F.col("term").isin(terms) & F.col("field").isin(flds))
+            .collect()
+        )
+        stats = {(r["field"], r["term"]): int(r["df"]) for r in d}
+        return {p: stats[p] for p in pairs if p in stats}
+
+    def make_spec(self, query: str, fields: list[str] | None = None):
+        pairs = self.analyze_query(query, fields)
+        dfs = self._lookup_stats(pairs)
+        term_weights = {
+            (f, t): self.weights[f] * float(bm25.idf(self.n_docs[f], df))
+            for (f, t), df in dfs.items()
+        }
+        return wand_mod.QuerySpec(
+            term_weights=term_weights,
+            avgdl=dict(self.avgdl),
+            k1=float(self.manifest["k1"]),
+            b=float(self.manifest["b"]),
+        )
+
+    # ----------------------------------------------------------- execute
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        fields: list[str] | None = None,
+        mode: str = "wand",
+    ) -> DataFrame:
+        """-> DataFrame(doc_id, score) of global top-k, deterministic."""
+        spec = self.make_spec(query, fields)
+        if not spec.term_weights:
+            return self.spark.createDataFrame([], _HITS_SCHEMA)
+        terms = sorted({t for _f, t in spec.term_weights})
+        flds = sorted({f for f, _t in spec.term_weights})
+        postings = self.spark.read.parquet(f"{self.index_dir}/postings").filter(
+            F.col("term").isin(terms) & F.col("field").isin(flds)
+        )
+        doc_stats = self.spark.read.parquet(
+            f"{self.index_dir}/doc_stats"
+        ).filter(F.col("field").isin(flds))
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        use_wand = mode == "wand"
+
+        def shard_topk(pg: pd.DataFrame, dg: pd.DataFrame) -> pd.DataFrame:
+            if not len(pg):
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            sp = b_spec.value
+            fn = wand_mod.wand if use_wand else wand_mod.taat
+            ids, scores = fn(pg, dg, sp, k)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        local = (
+            postings.groupBy("shard")
+            .cogroup(doc_stats.groupBy("shard"))
+            .applyInPandas(shard_topk, schema=_HITS_SCHEMA)
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def brute_force_bm25_df(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    tokenizer: str = "simple",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> DataFrame:
+    """Index-free BM25 top-k as a plain Catalyst plan (SURVEY.md §7
+    step 3): tokenize -> explode -> tf/df/dl aggregates -> score -> topk.
+    Single-field, unweighted — the SQL-expressible baseline the DuckDB
+    oracle checks, and the cross-check for the index engine.
+
+    Entirely built-in functions (JVM-side); only the tokenizer regex
+    runs in `F.regexp_*`, no Python at all.
+    """
+    q_terms = analyze.tokenize_query(query, tokenizer)
+    if not q_terms:
+        return docs.sparkSession.createDataFrame([], _HITS_SCHEMA)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qdf = tf.filter(F.col("term").isin(q_terms))
+    dfs = qdf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qdf.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

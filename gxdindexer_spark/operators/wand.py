@@ -1,0 +1,240 @@
+"""Per-shard top-k scoring: vectorized exact TAAT and block-max WAND.
+
+Both run inside the cogrouped ``applyInPandas`` worker of
+operators/query.py — one call per shard (SURVEY.md §3.4 scatter-gather).
+
+* ``taat`` (term-at-a-time) decodes every posting of every query term
+  and accumulates scores fully vectorized (np.unique + np.add.at).
+  It is the *exact* reference path — no pruning — and the shape that
+  keeps all hot loops in numpy.
+* ``wand`` is document-at-a-time block-max WAND (Ding & Suel, WWW'11,
+  public): term upper bounds drive pivot selection, block-max metadata
+  rejects blocks that cannot beat the running threshold, and skip
+  pointers (block_first/block_last) jump cursors without decoding.
+  Exactness property-tested against ``taat`` (SURVEY.md §5.4).
+
+Scores are float64 with Lucene formulas from functions/bm25.py;
+tiebreak (score desc, doc_id asc) everywhere.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from gxdindexer_spark.functions import bm25
+from gxdindexer_spark.functions.codec import PostingList, posting_list_from_row
+
+
+@dataclass
+class QuerySpec:
+    """Broadcast query plan: per-(field,term) idf already multiplied by
+    the field weight; per-field avgdl; BM25 params."""
+
+    term_weights: dict[tuple[str, str], float]  # (field, term) -> w_f * idf
+    avgdl: dict[str, float]
+    k1: float = bm25.K1
+    b: float = bm25.B
+
+
+class _DlLookup:
+    """field -> (sorted doc_ids, dls); O(log n) vectorized lookup."""
+
+    def __init__(self, docstats: pd.DataFrame):
+        self._by_field: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for fl, g in docstats.groupby("field", sort=False):
+            ids = g["doc_id"].to_numpy(np.int64)
+            dls = g["dl"].to_numpy(np.float64)
+            order = np.argsort(ids)
+            self._by_field[fl] = (ids[order], dls[order])
+
+    def dl(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        ids, dls = self._by_field[field]
+        pos = np.searchsorted(ids, doc_ids)
+        return dls[pos]
+
+
+def _plists(postings: pd.DataFrame, spec: QuerySpec):
+    """postings rows -> [(field, term, weight, PostingList)] for terms
+    present in the spec, skipping zero-weight entries."""
+    out = []
+    for r in postings.itertuples():
+        w = spec.term_weights.get((r.field, r.term), 0.0)
+        if w <= 0.0:
+            continue
+        out.append((r.field, r.term, w, posting_list_from_row(r.term, r._asdict())))
+    return out
+
+
+def _topk_from_scores(
+    doc_ids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    if doc_ids.size == 0:
+        return doc_ids, scores
+    if doc_ids.size > k:
+        # keep every candidate >= k-th score so ties break on doc_id
+        thresh = np.partition(scores, doc_ids.size - k)[doc_ids.size - k]
+        keep = scores >= thresh
+        doc_ids, scores = doc_ids[keep], scores[keep]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def taat(
+    postings: pd.DataFrame,
+    docstats: pd.DataFrame,
+    spec: QuerySpec,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact vectorized term-at-a-time scoring; returns top-k arrays."""
+    lists = _plists(postings, spec)
+    if not lists:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    dl_lookup = _DlLookup(docstats)
+    all_docs, all_contrib = [], []
+    for field, _term, w, pl in lists:
+        docs, tfs = pl.decode_all()
+        dls = dl_lookup.dl(field, docs)
+        contrib = w * bm25.tf_norm(
+            tfs.astype(np.float64), dls, spec.avgdl[field], spec.k1, spec.b
+        )
+        all_docs.append(docs)
+        all_contrib.append(contrib)
+    docs = np.concatenate(all_docs)
+    contrib = np.concatenate(all_contrib)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, contrib)
+    return _topk_from_scores(uniq, scores, k)
+
+
+class _Cursor:
+    """Iterates one posting list doc-at-a-time with block skipping."""
+
+    __slots__ = ("pl", "field", "ub", "blk", "pos", "docs", "tfs", "done", "w")
+
+    def __init__(self, field: str, w: float, pl: PostingList):
+        self.pl = pl
+        self.field = field
+        self.w = w
+        # term-level upper bound = w * max block tf-norm (idf folded in w)
+        self.ub = float(w * pl.block_max_tfn.max())
+        self.blk = 0
+        self.done = pl.n_blocks == 0
+        self.pos = 0
+        self.docs: np.ndarray | None = None
+        self.tfs: np.ndarray | None = None
+        if not self.done:
+            self._load(0)
+
+    def _load(self, b: int) -> None:
+        self.blk = b
+        self.docs, self.tfs = self.pl.decode_block(b)
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    @property
+    def tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+    def block_ub(self) -> float:
+        return float(self.w * self.pl.block_max_tfn[self.blk])
+
+    def next_after(self, target: int) -> None:
+        """Advance cursor to first doc >= target, skipping via the
+        block_last skip pointers without decoding skipped blocks."""
+        pl = self.pl
+        b = self.blk
+        if pl.block_last[b] < target:
+            b = int(np.searchsorted(pl.block_last, target))
+            if b >= pl.n_blocks:
+                self.done = True
+                return
+            self._load(b)
+        p = int(np.searchsorted(self.docs, target))
+        if p >= self.docs.size:  # target between blocks
+            if self.blk + 1 >= pl.n_blocks:
+                self.done = True
+                return
+            self._load(self.blk + 1)
+            p = 0
+        self.pos = p
+
+
+def wand(
+    postings: pd.DataFrame,
+    docstats: pd.DataFrame,
+    spec: QuerySpec,
+    k: int,
+    use_block_max: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND exact top-k; rank-identical to ``taat``."""
+    lists = _plists(postings, spec)
+    if not lists:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    dl_lookup = _DlLookup(docstats)
+    cursors = [_Cursor(f, w, pl) for f, _t, w, pl in lists if pl.n_blocks]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    theta = 0.0
+
+    def full_score(doc: int, active: list[_Cursor]) -> float:
+        s = 0.0
+        for c in active:
+            dl = float(dl_lookup.dl(c.field, np.array([doc], np.int64))[0])
+            tfn = float(
+                bm25.tf_norm(c.tf, dl, spec.avgdl[c.field], spec.k1, spec.b)
+            )
+            s += c.w * tfn
+        return s
+
+    while True:
+        live = [c for c in cursors if not c.done]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        # pivot: first index where cumulative UB can beat theta
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            # >= not >: a doc scoring exactly theta can still enter the
+            # heap on the doc_id tiebreak — pruning it breaks rank
+            # identity on exact ties.
+            if acc >= theta or len(heap) < k:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = live[pivot_i].doc
+        if live[0].doc == pivot_doc:
+            leading = [c for c in live if not c.done and c.doc == pivot_doc]
+            # block-max refinement: sum of current block UBs must beat theta
+            if use_block_max and len(heap) >= k:
+                block_acc = sum(c.block_ub() for c in leading)
+                if block_acc < theta:  # strict: preserve tie candidates
+                    for c in leading:
+                        c.next_after(pivot_doc + 1)
+                    continue
+            s = full_score(pivot_doc, leading)
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -pivot_doc))
+            elif (s, -pivot_doc) > heap[0]:
+                heapq.heapreplace(heap, (s, -pivot_doc))
+            if len(heap) == k:
+                theta = heap[0][0]
+            for c in leading:
+                c.next_after(pivot_doc + 1)
+        else:
+            # advance all cursors before the pivot to pivot_doc
+            for c in live[:pivot_i]:
+                c.next_after(pivot_doc)
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    doc_ids = np.array([-d for _s, d in ranked], dtype=np.int64)
+    scores = np.array([s for s, _d in ranked], dtype=np.float64)
+    return doc_ids, scores

@@ -1,0 +1,116 @@
+"""Source loaders.
+
+``load_table`` reads the driver-provided TPC-H-ish parquet tables.
+``docs_from_documents`` adapts the ``documents`` table to the corpus
+shape so the index engine can run over driver test data too.
+``prepare_docs`` derives the identity columns (doc_id dense over
+(repo, path, commit) — reproducible, SURVEY.md §7 step 2 — plus
+content_sha256 for the per-row invariant and the shard assignment that
+drives scatter-gather query and resumable builds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> corpus shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.sha2(F.concat_ws("|", "source", F.col("doc_id").cast("string")), 256).alias(
+            "commit"
+        ),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def prepare_docs(
+    corpus: DataFrame,
+    docs_per_shard: int = 1_000_000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """corpus -> docs table with doc_id, content_sha256, shard.
+
+    doc_id is a dense 0..N-1 id over the natural key ordering
+    (repo, path, commit): stable and reproducible across runs and
+    parallelism levels (unlike ``monotonically_increasing_id``).
+
+    Implementation is the scalable two-pass offset technique, NOT a
+    global ``row_number()`` window (which funnels 10^12 rows through
+    one reducer): range-repartition + sort within partitions on the
+    natural key, count rows per partition (a tiny P-row aggregate),
+    broadcast the cumulative offsets, then assign
+    ``offset[pid] + position`` inside an Arrow-batched ``mapInPandas``.
+    Analogous cost class to the reference's precomputed sort-rank
+    tables (GxdResultIndexer.java:869-883) — at 10^12 rows the docs
+    table is persisted once and reused per build.
+
+    shard = doc_id // docs_per_shard: contiguous docID ranges so every
+    posting list within a shard stays delta-friendly and the query
+    path can scatter-gather per shard.
+    """
+    spark = corpus.sparkSession
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    key = ["repo", "path", "commit"]
+    ordered = corpus.repartitionByRange(parts, *key).sortWithinPartitions(*key)
+    ordered = ordered.withColumn("_pid", F.spark_partition_id())
+    # two-pass: pass 1 counts per partition (tiny result), pass 2 assigns.
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content_sha256", T.StringType(), False),
+            T.StructField("shard", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            ids = base + pos + pd.RangeIndex(len(pdf)).to_numpy()
+            pos += len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = ids
+            pdf["content_sha256"] = ""  # filled natively below (F.sha2)
+            pdf["shard"] = (ids // docs_per_shard).astype("int32")
+            yield pdf
+
+    docs = ordered.mapInPandas(assign, schema=out_schema)
+    # sha256 stays JVM-side (native F.sha2, no Python round-trip).
+    return docs.withColumn(
+        "content_sha256", F.sha2(F.coalesce("content", F.lit("")), 256)
+    )

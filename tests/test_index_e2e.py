@@ -1,0 +1,214 @@
+"""Golden end-to-end rank-identity + invariant tests (SURVEY.md §5.2/5.3).
+
+Deterministic synthetic corpus -> build index -> query; compare
+top-k (doc_id, score) against the independent pure-python brute-force
+oracle (at small scale brute force IS the spec), and check the
+build invariants: sha256 round-trip, sum(tf)==cf, df==posting length,
+resume idempotency.
+"""
+
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.operators.index_build import IndexBuilder
+from gxdindexer_spark.operators.query import IndexQueryEngine, brute_force_bm25_df
+from gxdindexer_spark.sources.synth import generate_corpus
+from gxdindexer_spark.sources.tables import prepare_docs
+
+N_DOCS = 400
+QUERIES = [
+    "getIndexList if return",
+    "parseTokenMap salt_count",
+    "the import mergeShardStats",
+    "byte_offset skew_bound scanQueryBatch",
+    "if",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx"))
+    corpus = generate_corpus(spark, N_DOCS, seed=7, partitions=6)
+    docs = prepare_docs(corpus, docs_per_shard=100, partitions=6)
+    docs = docs.cache()
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    metrics = builder.build(docs, idx, resume=False)
+    pdocs = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    return idx, docs, pdocs, metrics
+
+
+def _oracle_topk(pdocs: pd.DataFrame, query: str, k: int):
+    """Pure-python/numpy oracle: multi-field weighted Lucene BM25."""
+    weights = bm25.field_weights()
+    fields = {"content": "code", "path": "path", "lang": "lang"}
+    total: dict[int, float] = {}
+    for field, tokenizer in fields.items():
+        toks_series = analyze.TOKENIZERS[tokenizer](pdocs[field])
+        docs_tokens = {
+            int(d): t
+            for d, t in zip(pdocs["doc_id"], toks_series)
+            if len(t)
+        }
+        q = analyze.tokenize_query(query, tokenizer)
+        for doc, s in bm25.brute_force_topk(docs_tokens, q, k=len(pdocs)):
+            total[doc] = total.get(doc, 0.0) + weights[field] * s
+    ranked = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def test_build_metrics(built):
+    _idx, _docs, pdocs, metrics = built
+    assert metrics["n_docs"] == N_DOCS
+    assert metrics["shards_built"] == math.ceil(N_DOCS / 100)
+    assert metrics["n_postings"] > 0
+    assert metrics["bytes_compressed"] > 0
+
+
+def test_sha256_invariant(built, spark):
+    """input_hint: per-row content sha256 equality source -> docs store."""
+    idx, docs, _pdocs, _m = built
+    stored = spark.read.parquet(f"{idx}/docs")
+    bad = (
+        stored.withColumn(
+            "expect", F.sha2(F.coalesce("content", F.lit("")), 256)
+        )
+        .filter(F.col("expect") != F.col("content_sha256"))
+        .count()
+    )
+    assert bad == 0
+    assert stored.count() == N_DOCS
+    # and the docs DF ids are dense 0..N-1
+    assert docs.agg(F.min("doc_id"), F.max("doc_id")).first() == (0, N_DOCS - 1)
+
+
+def test_dictionary_invariants(built, spark):
+    """sum tf per term == cf; df == decoded posting length (SURVEY §5.3)."""
+    idx, _docs, pdocs, _m = built
+    dictionary = spark.read.parquet(f"{idx}/dictionary")
+    # recompute tf from the tokenizer directly (independent path)
+    tf = analyze.term_freqs(pdocs["doc_id"], pdocs["content"], "code")
+    expect = tf.groupby("term").agg(df=("doc_id", "nunique"), cf=("tf", "sum"))
+    got = (
+        dictionary.filter(F.col("field") == "content")
+        .toPandas()
+        .set_index("term")[["df", "cf"]]
+        .sort_index()
+    )
+    expect = expect.sort_index()
+    assert list(got.index) == list(expect.index)
+    assert (got["df"].to_numpy() == expect["df"].to_numpy()).all()
+    assert (got["cf"].to_numpy() == expect["cf"].to_numpy()).all()
+    # doc_stats: sum of dl == total tokens
+    ds = spark.read.parquet(f"{idx}/doc_stats").filter(F.col("field") == "content")
+    assert ds.agg(F.sum("dl")).first()[0] == int(
+        analyze.code_tokens(pdocs["content"]).map(len).sum()
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("mode", ["taat", "wand"])
+def test_rank_identity_vs_oracle(built, spark, query, mode):
+    idx, _docs, pdocs, _m = built
+    k = 12
+    eng = IndexQueryEngine(spark, idx)
+    got = eng.topk(query, k=k, mode=mode).collect()
+    expect = _oracle_topk(pdocs, query, k)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_content_only_equals_unweighted_lucene(built, spark):
+    """content weight is exactly 1.0 -> single-field query reproduces
+    unweighted Lucene BM25 (and the Catalyst brute-force plan)."""
+    idx, docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "mergeBlockCache scan if"
+    got = eng.topk(q, k=10, fields=["content"], mode="wand").collect()
+    toks = {
+        int(d): t
+        for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
+    }
+    expect = bm25.brute_force_topk(toks, analyze.tokenize_query(q, "code"), 10)
+    assert [(r["doc_id"], pytest.approx(r["score"], rel=1e-9)) for r in got] == [
+        (d, s) for d, s in expect
+    ]
+
+
+def test_brute_force_df_matches_python_oracle(built, spark):
+    """The Catalyst-only scorer (simple tokenizer) vs python oracle."""
+    _idx, docs, pdocs, _m = built
+    q = "if return the import"
+    got = brute_force_bm25_df(docs, q, k=10, tokenizer="simple").collect()
+    toks = {
+        int(d): t
+        for d, t in zip(pdocs["doc_id"], analyze.simple_tokens(pdocs["content"]))
+    }
+    expect = bm25.brute_force_topk(toks, analyze.tokenize_query(q, "simple"), 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_resume_skips_done_shards(built, spark, tmpdir_idx):
+    """Kill/resume semantics: second build with same input is a no-op;
+    artifacts stay byte-identical in content (SURVEY §5.3)."""
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    m1 = builder.build(docs, tmpdir_idx, resume=True)
+    before = (
+        spark.read.parquet(f"{tmpdir_idx}/dictionary")
+        .orderBy("field", "term")
+        .toPandas()
+    )
+    m2 = builder.build(docs, tmpdir_idx, resume=True)
+    assert m2["shards_built"] == 0
+    assert m2["shards_skipped"] == m1["shards_built"] + m1["shards_skipped"]
+    after = (
+        spark.read.parquet(f"{tmpdir_idx}/dictionary")
+        .orderBy("field", "term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_partial_build_resume(built, spark, tmpdir_idx):
+    """Simulate a crashed run: build only half the shards, then resume
+    with the full corpus — final artifacts equal a from-scratch build."""
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    half = docs.filter(F.col("shard") < 2)
+    builder.build(half, tmpdir_idx, resume=True)
+    m = builder.build(docs, tmpdir_idx, resume=True)
+    assert m["shards_skipped"] == 2
+    # full rebuild elsewhere for comparison
+    import tempfile, shutil
+
+    ref_dir = tempfile.mkdtemp(prefix="gxdidx_ref_")
+    try:
+        builder.build(docs, ref_dir, resume=False)
+        a = (
+            spark.read.parquet(f"{tmpdir_idx}/dictionary")
+            .orderBy("field", "term")
+            .toPandas()
+        )
+        b = (
+            spark.read.parquet(f"{ref_dir}/dictionary")
+            .orderBy("field", "term")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # query results identical too
+        e1 = IndexQueryEngine(spark, tmpdir_idx)
+        e2 = IndexQueryEngine(spark, ref_dir)
+        q = "getPostingBuffer import"
+        assert (
+            e1.topk(q, 10).collect() == e2.topk(q, 10).collect()
+        )
+    finally:
+        shutil.rmtree(ref_dir, ignore_errors=True)
