@@ -1,38 +1,908 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(or a training-data pipeline op) expressed Spark-first; the matching
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables. Column names/aliases match pairwise; doubles are
+rounded identically on both sides so order-insensitive value hashes
+agree.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gxdindexer_spark.functions import bm25
+from gxdindexer_spark.operators import dedup, similarity, textstats
+from gxdindexer_spark.operators.index_build import IndexBuilder
+from gxdindexer_spark.operators.query import IndexQueryEngine, brute_force_bm25_df
+
+BM25_QUERY = "spark join table group"
+BM25_TERMS = BM25_QUERY.split()
+BM25_K = 20
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ index
+
+
+def _docs_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("content"),
+        F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha256"),
+        (F.col("doc_id") / 1000).cast("int").alias("shard"),
+    )
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/gxdidx_entry_{tag}"
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    idx = _index_dir_for(sf_dir)
+    builder = IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+    )
+    builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
+    return idx
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(BM25_QUERY, k=BM25_K, mode=mode)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sharded index build + block-max WAND BM25 top-k."""
+    return _bm25_index(spark, "/root/testdata/sf0.001", "wand")
+
+
+# ------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def join_multiway_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def left_join_customer_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def semi_join_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def range_join_event_tiers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e18)],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def self_join_nation_pairs(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+def groupby_count_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def collect_set_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+def window_rank_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rk",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def window_lag_running(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+        ).alias("delta_value"),
+        F.round(F.sum("value").over(wrun), 6).alias("running_value"),
+    )
+
+
+def union_distinct_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()  # SQL UNION dedups; Spark union is ALL
+
+
+def topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def scalar_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") / 100000.0
+    frac = x - F.floor(x)
+    return o.select(
+        "o_orderkey",
+        F.regexp_replace("o_orderpriority", "^[0-9]-", "").alias("priority_label"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_label"),
+        (
+            F.floor(x)
+            + F.when(frac < 0.25, 0.0).when(frac < 0.75, 0.5).otherwise(1.0)
+        ).alias("price_rounded_half"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_2dp"),
+        F.concat_ws(
+            "_", F.col("o_custkey").cast("string"), F.col("o_orderstatus")
+        ).alias("group_key"),
+    )
+
+
+def dag_closure(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("child"), F.col("r_name").alias("parent")
+    )
+    rw = r.select(F.col("r_name").alias("child"), F.lit("WORLD").alias("parent"))
+    edges = nr.unionAll(rw)
+    a, b = edges.alias("a"), edges.alias("b")
+    hop2 = a.join(b, F.col("a.parent") == F.col("b.child")).select(
+        F.col("a.child"), F.col("b.parent")
+    )
+    return edges.union(hop2).distinct().withColumnRenamed("parent", "ancestor")
+
+
+def windowed_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )
+
+
+# ----------------------------------------------------------- text / index
+
+
+def tokenize_tf_top50(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cf"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def bm25_brute(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hits = brute_force_bm25_df(
+        d, BM25_QUERY, k=BM25_K, tokenizer="simple", text_col="text"
+    )
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def bm25_index_taat(spark, sf_dir):
+    return _bm25_index(spark, sf_dir, "taat")
+
+
+def bm25_index_wand(spark, sf_dir):
+    return _bm25_index(spark, sf_dir, "wand")
+
+
+def dedup_exact_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(d, text_col="text", id_col="doc_id")
+
+
+def fingerprint_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def token_counts_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_token_counts(d, "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def quality_scores_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_quality_score(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stopword_ratio",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+def lang_id_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textstats.with_lang_id(d, "text")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_signatures_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "text", "doc_id", num_hashes=8, n=3)
+
+
+def simhash16_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id", bits=16)
+
+
+def ngram_jaccard_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.12)
+
+
+def minhash_lsh_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, n=3
+    )
+
+
+def ann_cosine_topk_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.cosine_topk(e, qvec, k=15)
+
+
+def ann_lsh_topk_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.lsh_bucket_topk(e, qvec, k=10, n_planes=6, probes=3)
+
+
+def embedding_neardup_exact_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+    ).filter(F.col("cos") >= 0.35)
+
+
+def multimodal_meta_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("media")
+    )
+    return media.select(
+        "doc_id",
+        F.octet_length("media").alias("n_bytes"),
+        F.sha2("media", 256).alias("media_sha256"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "join_multiway_revenue": join_multiway_revenue,
+        "left_join_customer_orders": left_join_customer_orders,
+        "semi_join_suppliers": semi_join_suppliers,
+        "anti_join_customers": anti_join_customers,
+        "range_join_event_tiers": range_join_event_tiers,
+        "self_join_nation_pairs": self_join_nation_pairs,
+        "groupby_count_events": groupby_count_events,
+        "collect_set_rollup": collect_set_rollup,
+        "window_rank_orders": window_rank_orders,
+        "window_lag_running": window_lag_running,
+        "union_distinct_custkeys": union_distinct_custkeys,
+        "topk_orders": topk_orders,
+        "scalar_funcs": scalar_funcs,
+        "dag_closure": dag_closure,
+        "windowed_events_hourly": windowed_events_hourly,
+        "sessionization": sessionization,
+        "tokenize_tf_top50": tokenize_tf_top50,
+        "bm25_brute": bm25_brute,
+        "bm25_index_taat": bm25_index_taat,
+        "bm25_index_wand": bm25_index_wand,
+        "dedup_exact": dedup_exact_q,
+        "fingerprint": fingerprint_q,
+        "token_counts": token_counts_q,
+        "quality_scores": quality_scores_q,
+        "lang_id": lang_id_q,
+        "minhash_signatures": minhash_signatures_q,
+        "simhash16": simhash16_q,
+        "ngram_jaccard": ngram_jaccard_q,
+        "minhash_lsh_pairs": minhash_lsh_pairs_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "embedding_neardup_exact": embedding_neardup_exact_q,
+        "multimodal_meta": multimodal_meta_q,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ================================================================= oracles
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+    "lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')) AS term "
+    "FROM documents)"
+)
+
+_BM25_SQL = f"""
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+            ) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_MINHASH_X = (
+    "(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)"
+)
+
+_SHINGLE_CTE_N3 = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM tk)
+"""
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    cols = ", ".join(
+        f"min(({dedup.MINHASH_AS[i]} * {_MINHASH_X} + {dedup.MINHASH_BS[i]})"
+        f" % 2147483647) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"{_SHINGLE_CTE_N3} SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def _minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for bi in range(bands):
+        sig = " || ':' || ".join(
+            f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sig_t"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sig_t AS ({_minhash_sql(num_hashes)}),
+bands_t AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands_t a JOIN bands_t b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    x = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    sums = ", ".join(
+        f"sum(tf * (((({x}) >> {i}) & 1) * 2 - 1)) AS b{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+  lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+tf_t AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+sums AS (SELECT doc_id, {sums} FROM tf_t GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM sums
+"""
+
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN round(length(array_to_string(toks, ''))::DOUBLE / len(toks), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN round(len(list_filter(toks, x -> x IN
+                ('the','and','of','to','in','is','that','for','a','an','it',
+                 'on','as','are')))::DOUBLE / len(toks), 6)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(t) > 0
+              THEN round(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / length(t), 6)
+              ELSE 0.0 END AS alpha_ratio
+  FROM base)
+SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, alpha_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN alpha_ratio >= 0.5 THEN 0.3 ELSE 0.0 END), 6)
+       AS quality_score
+FROM m
+"""
+
+_LANGS = sorted(textstats.LANG_PROFILES)
+_LANG_HITS = ", ".join(
+    "len(list_filter(toks, x -> x IN ({}))) AS hits_{}".format(
+        ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES[lg]), lg
+    )
+    for lg in _LANGS
+)
+_LANG_BEST = "greatest({})".format(", ".join(f"hits_{lg}" for lg in _LANGS))
+_LANG_PRED = "CASE WHEN {b} = 0 THEN 'und' {whens} ELSE 'und' END".format(
+    b=_LANG_BEST,
+    whens=" ".join(
+        f"WHEN hits_{lg} = {_LANG_BEST} THEN '{lg}'" for lg in _LANGS
+    ),
+)
+
+_LANG_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+hits AS (SELECT doc_id, {_LANG_HITS} FROM base),
+pred AS (SELECT doc_id, {_LANG_PRED} AS lang_pred FROM hits)
+SELECT lang_pred, count(*)::BIGINT AS n_docs FROM pred GROUP BY lang_pred
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_multiway_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "left_join_customer_orders": """
+            SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "semi_join_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s.s_suppkey AND l_quantity >= 45)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_totalprice > 300000)
+        """,
+        "range_join_event_tiers": """
+            WITH tiers(tier, lo, hi) AS (VALUES
+              ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e18))
+            SELECT tier, count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN tiers ON value >= lo AND value < hi
+            GROUP BY tier
+        """,
+        "self_join_nation_pairs": """
+            SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+                   a.n_regionkey AS regionkey
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        """,
+        "groupby_count_events": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "collect_set_rollup": """
+            SELECT n_name,
+                   string_agg(DISTINCT c_mktsegment, ','
+                              ORDER BY c_mktsegment) AS segments,
+                   count(*)::BIGINT AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "window_rank_orders": """
+            SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS totalprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                  FROM orders) t
+            WHERE rk <= 3
+        """,
+        "window_lag_running": """
+            SELECT user_id, event_id,
+                   round(value - coalesce(lag(value) OVER w, 0.0), 6)
+                     AS delta_value,
+                   round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 6) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "union_distinct_custkeys": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "scalar_funcs": """
+            SELECT o_orderkey,
+                   regexp_replace(o_orderpriority, '^[0-9]-', '')
+                     AS priority_label,
+                   CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                        WHEN o_orderstatus = 'O' THEN 'open'
+                        ELSE 'pending' END AS status_label,
+                   (floor(o_totalprice / 100000.0)
+                    + CASE WHEN o_totalprice / 100000.0
+                                - floor(o_totalprice / 100000.0) < 0.25 THEN 0.0
+                           WHEN o_totalprice / 100000.0
+                                - floor(o_totalprice / 100000.0) < 0.75 THEN 0.5
+                           ELSE 1.0 END) AS price_rounded_half,
+                   printf('%.2f', o_totalprice) AS price_2dp,
+                   CAST(o_custkey AS VARCHAR) || '_' || o_orderstatus
+                     AS group_key
+            FROM orders
+        """,
+        "dag_closure": """
+            WITH edges AS (
+              SELECT n_name AS child, r_name AS parent
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT r_name AS child, 'WORLD' AS parent FROM region)
+            SELECT DISTINCT child, ancestor FROM (
+              SELECT child, parent AS ancestor FROM edges
+              UNION ALL
+              SELECT a.child, b.parent AS ancestor
+              FROM edges a JOIN edges b ON a.parent = b.child) t
+        """,
+        "windowed_events_hourly": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                          OR lag(epoch_us(ts)) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, us,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_no
+              FROM g)
+            SELECT user_id, session_no::BIGINT AS session_no,
+                   count(*)::BIGINT AS n_events,
+                   (max(us) - min(us))::BIGINT AS duration_us
+            FROM s GROUP BY user_id, session_no
+        """,
+        "tokenize_tf_top50": f"""
+            {_TOKS_CTE}
+            SELECT term, count(*)::BIGINT AS cf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks GROUP BY term
+            ORDER BY cf DESC, term ASC LIMIT 50
+        """,
+        "bm25_brute": _BM25_SQL,
+        "bm25_index_taat": _BM25_SQL,
+        "bm25_index_wand": _BM25_SQL,
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hh
+                       FROM documents),
+            g AS (SELECT hh, min(doc_id) AS canonical_id,
+                         count(*)::BIGINT AS n_copies
+                  FROM h GROUP BY hh)
+            SELECT doc_id, canonical_id, n_copies FROM h JOIN g USING (hh)
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(coalesce(text, '')),
+                       '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(coalesce(text,''),
+                       '\s+'), x -> x <> ''))::INT AS ws_tokens,
+                   len(regexp_extract_all(coalesce(text,''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": _QUALITY_SQL,
+        "lang_id": _LANG_SQL,
+        "minhash_signatures": _minhash_sql(8),
+        "simhash16": _simhash_sql(16),
+        "ngram_jaccard": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                                      i -> array_to_string(toks[i:i+4], ' ')))
+                       AS shs
+              FROM tk),
+            ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle
+                   FROM sh),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_sh AS na, b.n_sh AS nb, count(*)::BIGINT AS inter
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   round(inter / (na + nb - inter), 6) AS jaccard
+            FROM common
+            WHERE round(inter / (na + nb - inter), 6) >= 0.12
+        """,
+        "minhash_lsh_pairs": _minhash_lsh_sql(8, 4),
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv, qv))) AS c
+              FROM embeddings CROSS JOIN q)
+            SELECT vec_id, round(c, 6) AS cos FROM s
+            ORDER BY c DESC, vec_id ASC LIMIT 15
+        """,
+        "embedding_neardup_exact": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(coalesce(text, '')))::INT AS n_bytes,
+                   sha256(coalesce(text, '')) AS media_sha256
+            FROM documents
+        """,
+        # ann_lsh_topk: intentionally no oracle (engine-internal
+        # hyperplanes); driver records rows-only check.
+    }

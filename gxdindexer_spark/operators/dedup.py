@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale notes (each documented against the 100 TB target):
+
+* exact dedup — hash-groupBy on sha2(text): one shuffle on a uniform
+  key, no skew by construction (hash values).
+* MinHash — portable signature: one md5 per shingle gives x in
+  [0, 2^60); h_i(x) = (a_i * (x mod P) + b_i) mod P with P = 2^31-1
+  (Carter-Wegman). Products stay < 2^62 (no overflow) and the SAME
+  arithmetic runs in DuckDB for the oracle. LSH bands the signature,
+  groups by (band, signature-slice) — candidate pairs without the
+  O(n^2) self-join.
+* n-gram Jaccard — exact pairwise via shingle equi-join; only viable
+  with a blocking key at scale, which is exactly what the LSH variant
+  provides. Kept as the small-scale oracle-checkable truth.
+* SimHash — per-token md5-derived bit vector, tf-weighted sign sum
+  per bit; near-dups share hamming-close signatures.
+* embedding cosine — see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+# fixed Carter-Wegman coefficients (deterministic, shared with oracle)
+MINHASH_AS = [1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
+              86028121, 104395301]
+MINHASH_BS = [12345, 7919, 104729, 1299721, 15485867, 32452867, 49979693,
+              67867979]
+
+
+def md5_int60(c: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+    DuckDB twin: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of normalized text."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: canonical row per sha2(text) = min(id). Returns
+    (doc_id, canonical_id, n_copies) for every row."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    hashed = df.select(F.col(id_col).alias("doc_id"), h.alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return hashed.join(groups, "h").select("doc_id", "canonical_id", "n_copies")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """-> (doc_id, h0..h{num_hashes-1}) MinHash signature columns.
+
+    Shingle explosion + per-hash min aggregation: Catalyst does the
+    partial (map-side) min, so the shuffle carries one row per
+    (doc, hash) not per shingle.
+    """
+    assert num_hashes <= len(MINHASH_AS)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    x = md5_int60(F.col("shingle")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(MINHASH_AS[i]) * x + MINHASH_BS[i]) % MINHASH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows = num_hashes/bands),
+    bucket-join on (band, slice). -> (doc_a, doc_b) distinct, a < b.
+
+    The join key includes the band's full hash slice, so bucket sizes
+    stay small and the self-join never goes quadratic in corpus size —
+    this is the scale path that replaces the exact pairwise Jaccard.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    rows = num_hashes // bands
+    bands_df = None
+    for bi in range(bands):
+        cols = [F.col(f"h{bi * rows + r}") for r in range(rows)]
+        part = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.concat_ws(":", *[c.cast("string") for c in cols]).alias("sig"),
+        )
+        bands_df = part if bands_df is None else bands_df.unionAll(part)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+    -> (doc_a, doc_b, jaccard) with jaccard >= threshold, a < b.
+
+    Small-scale ground truth for the LSH variant; at 100 TB run LSH
+    first and compute exact Jaccard only on candidate pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """-> (doc_id, simhash): tf-weighted sign-sum over token-hash bits.
+
+    Uses the portable md5-int hash so the DuckDB oracle can reproduce
+    it bit-for-bit. ``bits`` defaults to 16 for the oracle-checked
+    entry; the engine supports up to 60.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    x = md5_int60(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return sums.select("doc_id", sig.alias("simhash"))

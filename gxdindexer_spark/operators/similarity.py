@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k against one query vector:
+  `F.zip_with`/`F.aggregate` dot products, JVM-side, fully
+  Catalyst-planned. At 100 TB this is a single scan + top-k merge
+  (orderBy(...).limit(k) compiles to per-partition TakeOrdered + a
+  tiny driver merge — no global sort).
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane signs (a
+  deterministic md5-seeded projection) bucket vectors; the query only
+  scans its own bucket ring. Approximate; recall grows with probes.
+* ``embedding_neardup_pairs`` — pairwise cosine >= threshold within
+  LSH buckets (near-duplicate detection over embeddings).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k. -> (vec_id, cos) desc, id asc."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # order by the UNROUNDED cosine (rank truth), round only for output
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"), cosine(v, q).alias("_c")
+        )
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_c", 6).alias("cos"))
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a seed (pure
+    python, driver-side, tiny)."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        u = int(h[:15], 16) / float(1 << 60)
+        vals.append(2.0 * u - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign bits of projections onto fixed hyperplanes -> int bucket."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(F.transform(vec_col, lambda x: x.cast("double")), pc) > 0, 2**i).otherwise(0)
+    return sig
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """ANN: scan only the query's LSH bucket (plus Hamming-1 probe
+    buckets when ``probes`` > 1). Approximate — the candidate set is
+    pruned BEFORE the exact cosine, so the scan touches ~1/2^n_planes
+    of the corpus per probe."""
+    dim = len(query_vec)
+    planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qsig += 2**i
+    buckets = [qsig]
+    if probes > 1:
+        buckets += [qsig ^ (1 << i) for i in range(min(n_planes, probes - 1))]
+    tagged = emb.withColumn("_bucket", lsh_signature(F.col(vec_col), planes))
+    cand = tagged.filter(F.col("_bucket").isin(buckets))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, blocked by LSH bucket so
+    the self-join is per-bucket instead of global O(n^2).
+    -> (id_a, id_b, cos)."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    planes = [_hyperplane(int(dim_row["d"]), s) for s in range(n_planes)]
+    tagged = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    return (
+        pairs.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
