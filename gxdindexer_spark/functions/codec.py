@@ -12,6 +12,10 @@ Layout per (field, term, shard):
 * doc ids are sorted ascending, delta-encoded (first id absolute),
   then varbyte-compressed per block of ``BLOCK_SIZE`` docs;
 * term frequencies are varbyte-compressed per block (no delta);
+* per-posting doc lengths (the BM25 norm input) are varbyte-compressed
+  alongside — the Lucene-norms analog that makes every posting segment
+  self-contained: scoring needs NO side lookup (and therefore no
+  doc_stats shuffle per query);
 * per block we keep ``first_doc``, ``last_doc`` (skip pointers) and
   ``max_tf_norm`` — the maximum length-normalized tf in the block,
   which multiplied by the term idf gives the block-max score bound
@@ -126,15 +130,17 @@ class PostingList:
     block_count: np.ndarray  # int32 docs per block
     doc_offsets: np.ndarray  # int64 byte offsets into docs_buf (len = nblocks+1)
     tf_offsets: np.ndarray  # int64 byte offsets into tfs_buf (len = nblocks+1)
+    dl_offsets: np.ndarray  # int64 byte offsets into dls_buf (len = nblocks+1)
     docs_buf: bytes
     tfs_buf: bytes
+    dls_buf: bytes  # per-posting doc length (Lucene-norms analog)
 
     @property
     def n_blocks(self) -> int:
         return len(self.block_first)
 
-    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        """-> (doc_ids int64 asc, tfs uint64) for block i."""
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (doc_ids int64 asc, tfs uint64, dls uint64) for block i."""
         n = int(self.block_count[i])
         gaps = varbyte_decode(
             self.docs_buf[self.doc_offsets[i] : self.doc_offsets[i + 1]], n
@@ -143,11 +149,15 @@ class PostingList:
         tfs = varbyte_decode(
             self.tfs_buf[self.tf_offsets[i] : self.tf_offsets[i + 1]], n
         )
-        return docs, tfs
+        dls = varbyte_decode(
+            self.dls_buf[self.dl_offsets[i] : self.dl_offsets[i + 1]], n
+        )
+        return docs, tfs, dls
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         gaps = varbyte_decode(self.docs_buf)
         tfs = varbyte_decode(self.tfs_buf)
+        dls = varbyte_decode(self.dls_buf)
         docs = np.empty(gaps.size, dtype=np.int64)
         # gaps are absolute at every block start, so cumsum per block
         off = 0
@@ -155,7 +165,7 @@ class PostingList:
             n = int(self.block_count[i])
             docs[off : off + n] = np.cumsum(gaps[off : off + n].astype(np.int64))
             off += n
-        return docs, tfs
+        return docs, tfs, dls
 
 
 def encode_postings(
@@ -163,18 +173,23 @@ def encode_postings(
     tfs: np.ndarray,
     tf_norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    dls: np.ndarray | None = None,
 ) -> dict:
     """Encode one term's docID-sorted postings into compressed blocks.
 
     ``tf_norms`` is the precomputed length-normalized tf per posting
     (tf / (tf + k1*(1-b+b*dl/avgdl))) used only for the block-max
-    metadata; it is NOT stored per posting.
+    metadata; it is NOT stored per posting. ``dls`` (per-posting doc
+    length) IS stored — the Lucene-norms analog.
 
     Returns a dict of plain-python/bytes values matching the postings
     table schema (arrays as lists for Arrow friendliness).
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    if dls is None:
+        dls = np.zeros(doc_ids.size, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
     n = doc_ids.size
     nblocks = (n + block_size - 1) // block_size
     block_first = np.empty(nblocks, dtype=np.int64)
@@ -183,8 +198,10 @@ def encode_postings(
     block_cnt = np.empty(nblocks, dtype=np.int32)
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
+    dl_chunks: list[bytes] = []
     doc_off = [0]
     tf_off = [0]
+    dl_off = [0]
     for i in range(nblocks):
         lo, hi = i * block_size, min((i + 1) * block_size, n)
         ids = doc_ids[lo:hi]
@@ -201,10 +218,13 @@ def encode_postings(
         block_max[i] = m32
         dchunk = varbyte_encode(delta_encode(ids))
         tchunk = varbyte_encode(tfs[lo:hi])
+        lchunk = varbyte_encode(dls[lo:hi])
         doc_chunks.append(dchunk)
         tf_chunks.append(tchunk)
+        dl_chunks.append(lchunk)
         doc_off.append(doc_off[-1] + len(dchunk))
         tf_off.append(tf_off[-1] + len(tchunk))
+        dl_off.append(dl_off[-1] + len(lchunk))
     return {
         "df": n,
         "cf": int(tfs.sum()),
@@ -214,8 +234,10 @@ def encode_postings(
         "block_count": block_cnt.tolist(),
         "doc_offsets": doc_off,
         "tf_offsets": tf_off,
+        "dl_offsets": dl_off,
         "docs_buf": b"".join(doc_chunks),
         "tfs_buf": b"".join(tf_chunks),
+        "dls_buf": b"".join(dl_chunks),
     }
 
 
@@ -230,8 +252,10 @@ def posting_list_from_row(term: str, row: dict) -> PostingList:
         block_count=np.asarray(row["block_count"], dtype=np.int32),
         doc_offsets=np.asarray(row["doc_offsets"], dtype=np.int64),
         tf_offsets=np.asarray(row["tf_offsets"], dtype=np.int64),
+        dl_offsets=np.asarray(row["dl_offsets"], dtype=np.int64),
         docs_buf=bytes(row["docs_buf"]),
         tfs_buf=bytes(row["tfs_buf"]),
+        dls_buf=bytes(row["dls_buf"]),
     )
 
 
@@ -258,20 +282,29 @@ def merge_salted(parts: list[dict]) -> dict:
         "block_count": [],
         "doc_offsets": [0],
         "tf_offsets": [0],
+        "dl_offsets": [0],
         "docs_buf": b"",
         "tfs_buf": b"",
+        "dls_buf": b"",
     }
-    dbufs, tbufs = [], []
+    dbufs, tbufs, lbufs = [], [], []
     for p in parts:
-        d0, t0 = out["doc_offsets"][-1], out["tf_offsets"][-1]
+        d0, t0, l0 = (
+            out["doc_offsets"][-1],
+            out["tf_offsets"][-1],
+            out["dl_offsets"][-1],
+        )
         out["block_first"] += list(p["block_first"])
         out["block_last"] += list(p["block_last"])
         out["block_max_tfn"] += list(p["block_max_tfn"])
         out["block_count"] += list(p["block_count"])
         out["doc_offsets"] += [d0 + o for o in p["doc_offsets"][1:]]
         out["tf_offsets"] += [t0 + o for o in p["tf_offsets"][1:]]
+        out["dl_offsets"] += [l0 + o for o in p["dl_offsets"][1:]]
         dbufs.append(p["docs_buf"])
         tbufs.append(p["tfs_buf"])
+        lbufs.append(p["dls_buf"])
     out["docs_buf"] = b"".join(dbufs)
     out["tfs_buf"] = b"".join(tbufs)
+    out["dls_buf"] = b"".join(lbufs)
     return out

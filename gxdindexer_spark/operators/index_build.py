@@ -93,6 +93,7 @@ def _pack_partial(row: dict) -> bytes:
             "block_count",
             "doc_offsets",
             "tf_offsets",
+            "dl_offsets",
         )
     }
     hb = json.dumps(head).encode()
@@ -100,8 +101,10 @@ def _pack_partial(row: dict) -> bytes:
         len(hb).to_bytes(4, "little")
         + hb
         + len(row["docs_buf"]).to_bytes(8, "little")
+        + len(row["tfs_buf"]).to_bytes(8, "little")
         + row["docs_buf"]
         + row["tfs_buf"]
+        + row["dls_buf"]
     )
 
 
@@ -109,8 +112,11 @@ def _unpack_partial(buf: bytes) -> dict:
     hlen = int.from_bytes(buf[:4], "little")
     head = json.loads(buf[4 : 4 + hlen].decode())
     dlen = int.from_bytes(buf[4 + hlen : 12 + hlen], "little")
-    head["docs_buf"] = bytes(buf[12 + hlen : 12 + hlen + dlen])
-    head["tfs_buf"] = bytes(buf[12 + hlen + dlen :])
+    tlen = int.from_bytes(buf[12 + hlen : 20 + hlen], "little")
+    p = 20 + hlen
+    head["docs_buf"] = bytes(buf[p : p + dlen])
+    head["tfs_buf"] = bytes(buf[p + dlen : p + dlen + tlen])
+    head["dls_buf"] = bytes(buf[p + dlen + tlen :])
     return head
 
 
@@ -172,11 +178,12 @@ class IndexBuilder:
                     ["shard", "field", "term", "salt"], sort=False
                 ):
                     tfs = g["tf"].to_numpy(np.uint64)
+                    dls = g["dl"].to_numpy(np.uint64)
                     tfn = bm25.tf_norm(
-                        tfs, g["dl"].to_numpy(np.float64), avg[fl], k1, b_
+                        tfs, dls.astype(np.float64), avg[fl], k1, b_
                     )
                     row = encode_postings(
-                        g["doc_id"].to_numpy(np.int64), tfs, tfn, bs
+                        g["doc_id"].to_numpy(np.int64), tfs, tfn, bs, dls=dls
                     )
                     row["salt"] = int(sa)
                     recs["shard"].append(sh)
@@ -232,8 +239,10 @@ class IndexBuilder:
                         "block_count": m["block_count"],
                         "doc_offsets": m["doc_offsets"],
                         "tf_offsets": m["tf_offsets"],
+                        "dl_offsets": m["dl_offsets"],
                         "docs_buf": m["docs_buf"],
                         "tfs_buf": m["tfs_buf"],
+                        "dls_buf": m["dls_buf"],
                     }
                 ]
             )
@@ -302,7 +311,10 @@ class IndexBuilder:
             sub.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/docs"
             )
-            tf = term_freqs_df(sub, self.fields)
+            # tokenize ONCE; both doc_stats and postings consume it.
+            # MEMORY_AND_DISK: at cluster scale this spills instead of
+            # re-running the (expensive) tokenizer pass.
+            tf = term_freqs_df(sub, self.fields).persist()
             # doc_stats + corpus stats from one aggregate each
             doc_stats = (
                 tf.groupBy("doc_id", "field", "shard")
@@ -328,6 +340,7 @@ class IndexBuilder:
             postings.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/postings"
             )
+            tf.unpersist()
         self._finalize_stats(spark, index_dir)
         wall_ms = int((time.monotonic() - t0) * 1000)
 

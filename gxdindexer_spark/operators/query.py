@@ -6,9 +6,12 @@ Lifecycle (SURVEY.md §3.4):
     -> dictionary lookup (term -> global df)        [driver; tiny scan]
     -> postings scan filtered to query terms        [parquet predicate
        pushdown on `term`/`field`; shard partition dirs prune I/O]
-    -> cogroup with doc_stats by shard -> applyInPandas per shard:
-       block-max WAND (or exact TAAT) local top-k   [scatter]
-    -> global orderBy(score desc, doc_id asc).limit(k)   [gather]
+    -> applyInPandas per shard: block-max WAND (or exact TAAT)
+       local top-k  [scatter — segments are self-contained: doc
+       lengths travel inside the posting blocks, so NOTHING but the
+       query terms' postings moves]
+    -> global orderBy(score desc, doc_id asc).limit(k)   [gather —
+       TakeOrdered over <= shards*k tiny rows]
 
 The driver-side dictionary lookup is the analog of the reference's
 broadcast HashMap caches (GxdResultIndexer.java:91-272): the per-term
@@ -109,26 +112,21 @@ class IndexQueryEngine:
         postings = self.spark.read.parquet(f"{self.index_dir}/postings").filter(
             F.col("term").isin(terms) & F.col("field").isin(flds)
         )
-        doc_stats = self.spark.read.parquet(
-            f"{self.index_dir}/doc_stats"
-        ).filter(F.col("field").isin(flds))
         b_spec = self.spark.sparkContext.broadcast(spec)
         use_wand = mode == "wand"
 
-        def shard_topk(pg: pd.DataFrame, dg: pd.DataFrame) -> pd.DataFrame:
+        def shard_topk(pg: pd.DataFrame) -> pd.DataFrame:
             if not len(pg):
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float64"}
                 )
             sp = b_spec.value
             fn = wand_mod.wand if use_wand else wand_mod.taat
-            ids, scores = fn(pg, dg, sp, k)
+            ids, scores = fn(pg, sp, k)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        local = (
-            postings.groupBy("shard")
-            .cogroup(doc_stats.groupBy("shard"))
-            .applyInPandas(shard_topk, schema=_HITS_SCHEMA)
+        local = postings.groupBy("shard").applyInPandas(
+            shard_topk, schema=_HITS_SCHEMA
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -1,7 +1,10 @@
 """Per-shard top-k scoring: vectorized exact TAAT and block-max WAND.
 
-Both run inside the cogrouped ``applyInPandas`` worker of
-operators/query.py — one call per shard (SURVEY.md §3.4 scatter-gather).
+Both run inside the ``applyInPandas`` worker of operators/query.py —
+one call per shard (SURVEY.md §3.4 scatter-gather). Posting segments
+are self-contained: per-posting doc lengths (the Lucene-norms analog)
+travel inside the blocks, so scoring needs no doc_stats side lookup
+and the query path shuffles ONLY the query terms' postings.
 
 * ``taat`` (term-at-a-time) decodes every posting of every query term
   and accumulates scores fully vectorized (np.unique + np.add.at).
@@ -40,23 +43,6 @@ class QuerySpec:
     b: float = bm25.B
 
 
-class _DlLookup:
-    """field -> (sorted doc_ids, dls); O(log n) vectorized lookup."""
-
-    def __init__(self, docstats: pd.DataFrame):
-        self._by_field: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for fl, g in docstats.groupby("field", sort=False):
-            ids = g["doc_id"].to_numpy(np.int64)
-            dls = g["dl"].to_numpy(np.float64)
-            order = np.argsort(ids)
-            self._by_field[fl] = (ids[order], dls[order])
-
-    def dl(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
-        ids, dls = self._by_field[field]
-        pos = np.searchsorted(ids, doc_ids)
-        return dls[pos]
-
-
 def _plists(postings: pd.DataFrame, spec: QuerySpec):
     """postings rows -> [(field, term, weight, PostingList)] for terms
     present in the spec, skipping zero-weight entries."""
@@ -85,7 +71,6 @@ def _topk_from_scores(
 
 def taat(
     postings: pd.DataFrame,
-    docstats: pd.DataFrame,
     spec: QuerySpec,
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -93,13 +78,15 @@ def taat(
     lists = _plists(postings, spec)
     if not lists:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    dl_lookup = _DlLookup(docstats)
     all_docs, all_contrib = [], []
     for field, _term, w, pl in lists:
-        docs, tfs = pl.decode_all()
-        dls = dl_lookup.dl(field, docs)
+        docs, tfs, dls = pl.decode_all()
         contrib = w * bm25.tf_norm(
-            tfs.astype(np.float64), dls, spec.avgdl[field], spec.k1, spec.b
+            tfs.astype(np.float64),
+            dls.astype(np.float64),
+            spec.avgdl[field],
+            spec.k1,
+            spec.b,
         )
         all_docs.append(docs)
         all_contrib.append(contrib)
@@ -114,7 +101,8 @@ def taat(
 class _Cursor:
     """Iterates one posting list doc-at-a-time with block skipping."""
 
-    __slots__ = ("pl", "field", "ub", "blk", "pos", "docs", "tfs", "done", "w")
+    __slots__ = ("pl", "field", "ub", "blk", "pos", "docs", "tfs", "dls",
+                 "done", "w")
 
     def __init__(self, field: str, w: float, pl: PostingList):
         self.pl = pl
@@ -127,12 +115,13 @@ class _Cursor:
         self.pos = 0
         self.docs: np.ndarray | None = None
         self.tfs: np.ndarray | None = None
+        self.dls: np.ndarray | None = None
         if not self.done:
             self._load(0)
 
     def _load(self, b: int) -> None:
         self.blk = b
-        self.docs, self.tfs = self.pl.decode_block(b)
+        self.docs, self.tfs, self.dls = self.pl.decode_block(b)
         self.pos = 0
 
     @property
@@ -142,6 +131,10 @@ class _Cursor:
     @property
     def tf(self) -> int:
         return int(self.tfs[self.pos])
+
+    @property
+    def dl(self) -> int:
+        return int(self.dls[self.pos])
 
     def block_ub(self) -> float:
         return float(self.w * self.pl.block_max_tfn[self.blk])
@@ -169,7 +162,6 @@ class _Cursor:
 
 def wand(
     postings: pd.DataFrame,
-    docstats: pd.DataFrame,
     spec: QuerySpec,
     k: int,
     use_block_max: bool = True,
@@ -178,17 +170,15 @@ def wand(
     lists = _plists(postings, spec)
     if not lists:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    dl_lookup = _DlLookup(docstats)
     cursors = [_Cursor(f, w, pl) for f, _t, w, pl in lists if pl.n_blocks]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     theta = 0.0
 
-    def full_score(doc: int, active: list[_Cursor]) -> float:
+    def full_score(active: list[_Cursor]) -> float:
         s = 0.0
         for c in active:
-            dl = float(dl_lookup.dl(c.field, np.array([doc], np.int64))[0])
             tfn = float(
-                bm25.tf_norm(c.tf, dl, spec.avgdl[c.field], spec.k1, spec.b)
+                bm25.tf_norm(c.tf, c.dl, spec.avgdl[c.field], spec.k1, spec.b)
             )
             s += c.w * tfn
         return s
@@ -221,7 +211,7 @@ def wand(
                     for c in leading:
                         c.next_after(pivot_doc + 1)
                     continue
-            s = full_score(pivot_doc, leading)
+            s = full_score(leading)
             if len(heap) < k:
                 heapq.heappush(heap, (s, -pivot_doc))
             elif (s, -pivot_doc) > heap[0]:

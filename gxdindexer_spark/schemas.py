@@ -50,8 +50,10 @@ POSTINGS = T.StructType(
         T.StructField("block_count", T.ArrayType(T.IntegerType()), False),
         T.StructField("doc_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("tf_offsets", T.ArrayType(T.LongType()), False),
+        T.StructField("dl_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("docs_buf", T.BinaryType(), False),
         T.StructField("tfs_buf", T.BinaryType(), False),
+        T.StructField("dls_buf", T.BinaryType(), False),
     ]
 )
 
