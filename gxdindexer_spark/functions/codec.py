@@ -191,54 +191,69 @@ def encode_postings(
         dls = np.zeros(doc_ids.size, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
     n = doc_ids.size
+    if n == 0:
+        return {
+            "df": 0, "cf": 0, "block_first": [], "block_last": [],
+            "block_max_tfn": [], "block_count": [], "doc_offsets": [0],
+            "tf_offsets": [0], "dl_offsets": [0], "docs_buf": b"",
+            "tfs_buf": b"", "dls_buf": b"",
+        }
     nblocks = (n + block_size - 1) // block_size
-    block_first = np.empty(nblocks, dtype=np.int64)
-    block_last = np.empty(nblocks, dtype=np.int64)
-    block_max = np.empty(nblocks, dtype=np.float32)
-    block_cnt = np.empty(nblocks, dtype=np.int32)
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    dl_chunks: list[bytes] = []
-    doc_off = [0]
-    tf_off = [0]
-    dl_off = [0]
-    for i in range(nblocks):
-        lo, hi = i * block_size, min((i + 1) * block_size, n)
-        ids = doc_ids[lo:hi]
-        block_first[i] = ids[0]
-        block_last[i] = ids[-1]
-        block_cnt[i] = hi - lo
-        # round UP to float32: the stored bound must never fall below
-        # the float64 tf-norm recomputed at query time, or block-max
-        # pruning would drop true top-k docs.
-        m64 = float(tf_norms[lo:hi].max())
-        m32 = np.float32(m64)
-        if float(m32) < m64:
-            m32 = np.nextafter(m32, np.float32(np.inf))
-        block_max[i] = m32
-        dchunk = varbyte_encode(delta_encode(ids))
-        tchunk = varbyte_encode(tfs[lo:hi])
-        lchunk = varbyte_encode(dls[lo:hi])
-        doc_chunks.append(dchunk)
-        tf_chunks.append(tchunk)
-        dl_chunks.append(lchunk)
-        doc_off.append(doc_off[-1] + len(dchunk))
-        tf_off.append(tf_off[-1] + len(tchunk))
-        dl_off.append(dl_off[-1] + len(lchunk))
+    starts = np.arange(nblocks, dtype=np.int64) * block_size
+    ends = np.minimum(starts + block_size, n)
+    if (np.diff(doc_ids) <= 0).any():
+        raise ValueError("doc ids must be strictly ascending")
+    # gaps with per-block absolute first value (blocks decode standalone)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(doc_ids[0])
+    gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    gaps[starts] = doc_ids[starts].astype(np.uint64)
+    # one vectorized varbyte pass per buffer; block byte offsets come
+    # from the per-value byte lengths (no per-block Python loop).
+    doc_off = _block_offsets(gaps, starts)
+    tf_off = _block_offsets(tfs, starts)
+    dl_off = _block_offsets(dls, starts)
+    # block-max tf-norm, rounded UP to float32: the stored bound must
+    # never fall below the float64 tf-norm recomputed at query time,
+    # or block-max pruning would drop true top-k docs.
+    tfn = np.asarray(tf_norms, dtype=np.float64)
+    m64 = np.maximum.reduceat(tfn, starts)
+    m32 = m64.astype(np.float32)
+    bump = m32.astype(np.float64) < m64
+    m32[bump] = np.nextafter(m32[bump], np.float32(np.inf))
     return {
         "df": n,
         "cf": int(tfs.sum()),
-        "block_first": block_first.tolist(),
-        "block_last": block_last.tolist(),
-        "block_max_tfn": block_max.tolist(),
-        "block_count": block_cnt.tolist(),
-        "doc_offsets": doc_off,
-        "tf_offsets": tf_off,
-        "dl_offsets": dl_off,
-        "docs_buf": b"".join(doc_chunks),
-        "tfs_buf": b"".join(tf_chunks),
-        "dls_buf": b"".join(dl_chunks),
+        "block_first": doc_ids[starts].tolist(),
+        "block_last": doc_ids[ends - 1].tolist(),
+        "block_max_tfn": m32.tolist(),
+        "block_count": (ends - starts).astype(np.int32).tolist(),
+        "doc_offsets": doc_off.tolist(),
+        "tf_offsets": tf_off.tolist(),
+        "dl_offsets": dl_off.tolist(),
+        "docs_buf": varbyte_encode(gaps),
+        "tfs_buf": varbyte_encode(tfs),
+        "dls_buf": varbyte_encode(dls),
     }
+
+
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """bytes each value will occupy when varbyte-encoded."""
+    nbytes = np.ones(values.shape, dtype=np.int64)
+    tmp = values.copy()
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def _block_offsets(values: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
+    """byte offsets of each block boundary in the encoded buffer
+    (len = nblocks + 1)."""
+    csum = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(_varbyte_lengths(values), out=csum[1:])
+    return np.concatenate([csum[block_starts], csum[-1:]])
 
 
 def posting_list_from_row(term: str, row: dict) -> PostingList:

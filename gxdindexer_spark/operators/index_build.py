@@ -120,6 +120,35 @@ def _unpack_partial(buf: bytes) -> dict:
     return head
 
 
+def _stream_groups(
+    batches: Iterator[pd.DataFrame],
+    keys: list[str],
+    emit,
+) -> Iterator[pd.DataFrame]:
+    """Group-aware Arrow-batch streaming: rows arrive sorted by ``keys``;
+    the (possibly split) trailing group of each batch is carried into
+    the next so ``emit`` always sees whole groups, and memory stays
+    bounded by group size, not partition size."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last_key = tuple(pdf.iloc[-1][keys])
+        tail_mask = pd.Series(True, index=pdf.index)
+        for kcol, kval in zip(keys, last_key):
+            tail_mask &= pdf[kcol] == kval
+        # rows of the last group are contiguous at the end
+        n_tail = int(tail_mask[::-1].cummin()[::-1].sum())
+        head = pdf.iloc[: len(pdf) - n_tail]
+        carry = pdf.iloc[len(pdf) - n_tail :]
+        if len(head):
+            yield emit(head)
+    if carry is not None and len(carry):
+        yield emit(carry)
+
+
 class IndexBuilder:
     """Builds and persists the index artifacts for a docs DataFrame.
 
@@ -169,7 +198,6 @@ class IndexBuilder:
             Arrow batch, carrying the (possibly split) last group over
             to the next batch so memory stays bounded by group size,
             not partition size."""
-            carry: pd.DataFrame | None = None
             avg = b_avgdl.value
 
             def emit(chunk: pd.DataFrame) -> pd.DataFrame:
@@ -193,63 +221,35 @@ class IndexBuilder:
                     recs["payload"].append(_pack_partial(row))
                 return pd.DataFrame(recs)
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                if carry is not None:
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                # split off the trailing group (may continue next batch)
-                last_key = tuple(
-                    pdf.iloc[-1][["shard", "field", "term", "salt"]]
-                )
-                tail_mask = (
-                    (pdf["shard"] == last_key[0])
-                    & (pdf["field"] == last_key[1])
-                    & (pdf["term"] == last_key[2])
-                    & (pdf["salt"] == last_key[3])
-                )
-                # rows of the last group are contiguous at the end
-                n_tail = int(tail_mask[::-1].cummin()[::-1].sum())
-                head, carry = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[
-                    len(pdf) - n_tail :
-                ]
-                if len(head):
-                    yield emit(head)
-            if carry is not None and len(carry):
-                yield emit(carry)
+            yield from _stream_groups(
+                batches, ["shard", "field", "term", "salt"], emit
+            )
 
         partials = arranged.mapInPandas(encode_stream, schema=_PARTIAL_SCHEMA)
 
-        def merge(
-            key: tuple, g: pd.DataFrame
-        ) -> pd.DataFrame:  # grouped-map: one term, all salts
-            parts = [_unpack_partial(p) for p in g["payload"]]
-            m = merge_salted(parts)
-            return pd.DataFrame(
-                [
-                    {
-                        "shard": key[0],
-                        "field": key[1],
-                        "term": key[2],
-                        "df": m["df"],
-                        "cf": m["cf"],
-                        "block_first": m["block_first"],
-                        "block_last": m["block_last"],
-                        "block_max_tfn": m["block_max_tfn"],
-                        "block_count": m["block_count"],
-                        "doc_offsets": m["doc_offsets"],
-                        "tf_offsets": m["tf_offsets"],
-                        "dl_offsets": m["dl_offsets"],
-                        "docs_buf": m["docs_buf"],
-                        "tfs_buf": m["tfs_buf"],
-                        "dls_buf": m["dls_buf"],
-                    }
-                ]
-            )
-
-        return partials.groupBy("shard", "field", "term").applyInPandas(
-            merge, schema=schemas.POSTINGS
+        # merge phase: narrow shuffle of already-compressed payloads,
+        # then the same group-aware stream (no per-group pandas-DF
+        # overhead like applyInPandas would pay per term).
+        merge_keys = ["shard", "field", "term"]
+        marranged = partials.repartition(n_parts, *merge_keys).sortWithinPartitions(
+            *merge_keys, "salt"
         )
+
+        def merge_stream(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            def emit(chunk: pd.DataFrame) -> pd.DataFrame:
+                rows = []
+                for (sh, fl, tm), g in chunk.groupby(merge_keys, sort=False):
+                    m = merge_salted([_unpack_partial(p) for p in g["payload"]])
+                    m.pop("salt", None)
+                    rows.append({"shard": sh, "field": fl, "term": tm, **m})
+                out = pd.DataFrame(rows)
+                return out[[f.name for f in schemas.POSTINGS.fields]]
+
+            yield from _stream_groups(batches, merge_keys, emit)
+
+        return marranged.mapInPandas(merge_stream, schema=schemas.POSTINGS)
 
     # ------------------------------------------------- full build + write
 
