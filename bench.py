@@ -1,0 +1,145 @@
+"""Headline benchmark: index build + BM25 retrieval + operator suite.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "build": {...}}
+
+Index-build throughput (docs/sec, postings/sec, bytes) rides along in
+"build"; per-query wall seconds in "queries". Scaling evidence between
+two parallelism levels lives in jobs/scaling_bench.py -> BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from gxdindexer_spark.operators import similarity  # noqa: E402
+from gxdindexer_spark.operators.index_build import IndexBuilder  # noqa: E402
+from gxdindexer_spark.operators.query import IndexQueryEngine  # noqa: E402
+from gxdindexer_spark.session import get_spark  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# entry-contract queries benched as-is (names match __spark_entry__)
+ENTRY_QUERIES = [
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "left_join_customer_orders",
+    "window_rank_orders",
+    "sessionization",
+    "windowed_events_hourly",
+    "union_distinct_custkeys",
+    "tokenize_tf_top50",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "quality_scores",
+    "lang_id",
+    "ann_cosine_topk",
+    "bm25_brute",
+]
+
+BM25_QUERIES = [
+    "spark join table group",
+    "window stream batch",
+    "customer query filter merge",
+]
+
+
+def main() -> int:
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warmup: spin Python workers + codegen so first measurement isn't
+    # charged for session bootstrap
+    spark.range(1000).selectExpr("sum(id)").collect()
+    entrymod._t(spark, SF_DIR, "documents").count()
+
+    # ---------------------------------------------- index build throughput
+    idx_dir = f"/tmp/gxdidx_bench_{os.path.basename(os.path.normpath(SF_DIR))}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    builder = IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+    )
+    build_metrics = builder.build(
+        entrymod._docs_for_index(spark, SF_DIR), idx_dir, resume=False
+    )
+    timings["index_build"] = round(time.monotonic() - t0, 3)
+
+    # ------------------------------------------------- BM25 query latency
+    eng = IndexQueryEngine(spark, idx_dir)
+    for mode in ("wand", "taat"):
+        lats = []
+        for q in BM25_QUERIES:
+            t0 = time.monotonic()
+            eng.topk(q, k=20, mode=mode).collect()
+            lats.append(time.monotonic() - t0)
+        timings[f"bm25_{mode}_p50"] = round(sorted(lats)[len(lats) // 2], 3)
+        timings[f"bm25_{mode}_max"] = round(max(lats), 3)
+
+    # ----------------------------------------------- operator suite
+    for name in ENTRY_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        del n
+
+    # embedding near-dup via LSH blocking (scale path)
+    emb = entrymod._t(spark, SF_DIR, "embeddings")
+    t0 = time.monotonic()
+    similarity.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6).count()
+    timings["embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+bm25+operator_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "build": {
+                    k: build_metrics[k]
+                    for k in (
+                        "n_docs",
+                        "n_postings",
+                        "bytes_compressed",
+                        "docs_per_sec",
+                        "postings_per_sec",
+                    )
+                    if k in build_metrics
+                },
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,13 +45,13 @@ def shingles(text: Column, n: int = 3) -> Column:
         lambda x: x != "",
     )
     k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # n-grams as a fold of shifted-array zips — O(len) array ops instead
+    # of per-position slice() calls (which fall out of codegen)
+    acc = F.slice(toks, 1, F.greatest(k, F.lit(0)))
+    for j in range(2, n + 1):
+        nxt = F.slice(toks, j, F.greatest(k, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(k >= 1, acc).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -84,12 +84,18 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
-    x = md5_int60(F.col("shingle")) % MINHASH_P
+    # materialize the md5-int ONCE per shingle row — referencing the
+    # expression from each min() would re-hash 8x per row
+    xed = sh.select(
+        "doc_id", (md5_int60(F.col("shingle")) % MINHASH_P).alias("x")
+    )
     aggs = [
-        F.min((F.lit(MINHASH_AS[i]) * x + MINHASH_BS[i]) % MINHASH_P).alias(f"h{i}")
+        F.min(
+            (F.lit(MINHASH_AS[i]) * F.col("x") + MINHASH_BS[i]) % MINHASH_P
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return xed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
