@@ -72,7 +72,17 @@ def prepare_docs(
     spark = corpus.sparkSession
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     key = ["repo", "path", "commit"]
-    ordered = corpus.repartitionByRange(parts, *key).sortWithinPartitions(*key)
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # re-samples boundaries per action, so without materialization the
+    # count pass and the assign pass would see DIFFERENT partitionings
+    # and produce duplicate ids. At 10^12 rows the equivalent is
+    # writing the sorted doc store once and assigning ids from file/row
+    # position (Iceberg _file/_pos metadata).
+    ordered = (
+        corpus.repartitionByRange(parts, *key)
+        .sortWithinPartitions(*key)
+        .localCheckpoint(eager=False)
+    )
     ordered = ordered.withColumn("_pid", F.spark_partition_id())
     # two-pass: pass 1 counts per partition (tiny result), pass 2 assigns.
     counts = {

@@ -61,6 +61,23 @@ def _oracle_topk(pdocs: pd.DataFrame, query: str, k: int):
     return ranked[:k]
 
 
+def test_doc_id_assignment_dense_unique_at_scale(spark):
+    """Regression: repartitionByRange re-samples per action; without the
+    localCheckpoint pin the count/assign passes disagree and ids
+    duplicate (seen at 100k docs / 64 partitions)."""
+    corpus = generate_corpus(spark, 20000, seed=3, partitions=16)
+    docs = prepare_docs(corpus, docs_per_shard=5000, partitions=16)
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    assert (row["n"], row["nd"], row["lo"], row["hi"]) == (
+        20000, 20000, 0, 19999,
+    )
+
+
 def test_build_metrics(built):
     _idx, _docs, pdocs, metrics = built
     assert metrics["n_docs"] == N_DOCS

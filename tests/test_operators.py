@@ -1,0 +1,245 @@
+"""Unit tests for dedup / similarity / textstats / multimodal /
+streaming operators and plan-shape assertions (SURVEY.md §5.1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gxdindexer_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from gxdindexer_spark.plans import explain
+from gxdindexer_spark.streaming import events as streaming_events
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 0
+        (2, "the quick brown fox jumps over a lazy cat", "en"),  # near-dup
+        (3, "der hund und die katze sind nicht da", "de"),
+        (4, "completely unrelated text about spark engines", "en"),
+        (5, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_dedup_exact(spark, docs_df):
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["n_copies"])
+        for r in dedup.dedup_exact(docs_df).collect()
+    }
+    assert out[0] == (0, 2)
+    assert out[1] == (0, 2)
+    assert out[2][1] == 1
+
+
+def test_minhash_identical_docs_equal_sigs(spark, docs_df):
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+            for r in dedup.minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    # near-dup shares most mins; unrelated shares few
+    sim_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    sim_far = sum(a == b for a, b in zip(sigs[0], sigs[4]))
+    assert sim_near > sim_far
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs_df).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_exact_dup_is_1(spark, docs_df):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()
+    }
+    assert rows[(0, 1)] == pytest.approx(1.0)
+    assert rows[(0, 2)] < 1.0
+
+
+def test_simhash_dup_equal_neardup_close(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_bucket_topk(emb, q, k=5, n_planes=4, probes=4).collect()
+    ]
+    assert exact[0] == 7  # self
+    assert 7 in approx  # ANN finds the exact match's bucket
+    assert set(approx) & set(exact)  # meaningful recall
+
+
+def test_quality_and_counts(spark, docs_df):
+    q = {r["doc_id"]: r for r in
+         textstats.with_quality_score(docs_df).collect()}
+    assert q[5]["n_tokens"] == 0 and q[5]["quality_score"] == 0.0
+    assert q[0]["stopword_ratio"] > 0
+    t = {r["doc_id"]: r for r in
+         textstats.with_token_counts(docs_df).collect()}
+    assert t[0]["ws_tokens"] == 9
+    assert t[5]["ws_tokens"] == 0
+
+
+def test_lang_id(spark, docs_df):
+    p = {r["doc_id"]: r["lang_pred"] for r in
+         textstats.with_lang_id(docs_df).collect()}
+    assert p[0] == "en"
+    assert p[3] == "de"
+    assert p[5] == "und"
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_plumbing(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert bytes(rows[0]["media"]).decode() == (
+        "the quick brown fox jumps over the lazy dog"
+    )
+    assert rows[0]["meta"]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog"
+    )
+    feats = {r["doc_id"]: r["features"] for r in
+             multimodal.extract_features(media, dim=8).collect()}
+    assert len(feats[0]) == 8
+    assert feats[0] == feats[1]  # deterministic
+    assert np.isclose(np.linalg.norm(feats[0]), 1.0)
+    assert all(v == 0.0 for v in feats[5])  # empty media -> zero vector
+    frames = multimodal.frame_sample(media, every_n_bytes=10)
+    f0 = frames.filter(F.col("doc_id") == 0).collect()
+    joined = b"".join(bytes(r["frame"]) for r in
+                      sorted(f0, key=lambda r: r["frame_no"]))
+    assert joined.decode() == "the quick brown fox jumps over the lazy dog"
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "png")
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(events_dir)
+    stream = streaming_events.read_events_stream(spark, events_dir)
+    sdf = streaming_events.windowed_counts(stream)
+    # complete mode: every window (incl. still-open) -> exact batch match
+    q = streaming_events.run_stream_to_memory(sdf, "win_counts", "complete")
+    q.awaitTermination(120)
+    got = (
+        spark.table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    expect = (
+        streaming_events.windowed_counts(
+            spark.read.parquet(events_dir)
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert len(got) > 0
+
+    def rows_match(a, b):  # float sums differ in partial-agg order
+        return (
+            a["window_start"] == b["window_start"]
+            and a["event_type"] == b["event_type"]
+            and a["n"] == b["n"]
+            and a["sum_value"] == pytest.approx(b["sum_value"], rel=1e-9)
+        )
+
+    assert len(got) == len(expect)
+    assert all(rows_match(a, b) for a, b in zip(got, expect))
+
+    # append mode: watermark admits only CLOSED windows — the emitted
+    # subset must still agree row-for-row with the batch result
+    q2 = streaming_events.run_stream_to_memory(
+        streaming_events.windowed_counts(
+            streaming_events.read_events_stream(spark, events_dir)
+        ),
+        "win_counts_append",
+        "append",
+    )
+    q2.awaitTermination(120)
+    exp_map = {(r["window_start"], r["event_type"]): r for r in expect}
+    emitted = spark.table("win_counts_append").collect()
+    # events are unordered across trigger files, so the watermark DROPS
+    # genuinely-late rows — emitted windows are a subset with n <= batch
+    assert all(
+        (r["window_start"], r["event_type"]) in exp_map
+        and r["n"] <= exp_map[(r["window_start"], r["event_type"])]["n"]
+        for r in emitted
+    )
+
+
+def test_stateful_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "ev2")
+    # single file => single trigger => all closed sessions except tails
+    ev.coalesce(1).write.parquet(events_dir)
+    stream = streaming_events.read_events_stream(spark, events_dir)
+    sdf = streaming_events.sessionize_stream(stream)
+    q = streaming_events.run_stream_to_memory(sdf, "sessions", "append")
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["duration_us"])
+        for r in spark.table("sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["duration_us"])
+        for r in streaming_events.sessionize_batch(ev).collect()
+    }
+    # stream emits only CLOSED sessions; each must match the batch twin
+    assert len(got) > 0
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pf = explain.pushed_filters(q)
+    assert any("l_quantity" in f for f in pf)
+    rs = explain.read_schemas(q)
+    assert rs and all("l_extendedprice" not in s for s in rs)
+
+
+def test_broadcast_join_for_small_dim(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    assert explain.has_broadcast_join(j)
