@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import shutil
 import time
 from collections.abc import Iterator
@@ -39,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gxdindexer_spark import schemas
-from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.functions import analyze, bm25, hashing
 from gxdindexer_spark.functions.codec import encode_postings, merge_salted
 
 DEFAULT_FIELDS = {"content": "code", "path": "path", "lang": "lang"}
@@ -62,7 +63,10 @@ def term_freqs_df(
                     continue
                 tf.insert(1, "shard", shard_of.loc[tf["doc_id"]].to_numpy())
                 tf.insert(2, "field", field)
-                yield tf[["doc_id", "shard", "field", "term", "tf", "dl"]]
+                tf["term_id"] = hashing.term_ids(tf["term"])
+                yield tf[
+                    ["doc_id", "shard", "field", "term", "term_id", "tf", "dl"]
+                ]
 
     cols = ["doc_id", "shard"] + list(fields)
     return docs.select(*cols).mapInPandas(tok, schema=schemas.TERM_FREQS)
@@ -72,7 +76,7 @@ _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("field", T.StringType(), False),
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
@@ -183,10 +187,18 @@ class IndexBuilder:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         b_avgdl = spark.sparkContext.broadcast(avgdl)
         k1, b_, bs = self.k1, self.b, self.block_size
-        salted = tf.withColumn(
-            "salt", (F.col("doc_id") / self.salt_range).cast("int")
+        # drop the term STRING before the wide shuffles: only numeric
+        # columns (plus the tiny field tag) cross the Arrow boundary.
+        salted = tf.select(
+            "shard",
+            "field",
+            "term_id",
+            (F.col("doc_id") / self.salt_range).cast("int").alias("salt"),
+            "doc_id",
+            "tf",
+            "dl",
         )
-        keys = ["shard", "field", "term", "salt"]
+        keys = ["shard", "field", "term_id", "salt"]
         arranged = salted.repartition(n_parts, *keys).sortWithinPartitions(
             *keys, "doc_id"
         )
@@ -201,9 +213,12 @@ class IndexBuilder:
             avg = b_avgdl.value
 
             def emit(chunk: pd.DataFrame) -> pd.DataFrame:
-                recs = {k: [] for k in ("shard", "field", "term", "salt", "payload")}
-                for (sh, fl, tm, sa), g in chunk.groupby(
-                    ["shard", "field", "term", "salt"], sort=False
+                recs = {
+                    k: []
+                    for k in ("shard", "field", "term_id", "salt", "payload")
+                }
+                for (sh, fl, tid, sa), g in chunk.groupby(
+                    ["shard", "field", "term_id", "salt"], sort=False
                 ):
                     tfs = g["tf"].to_numpy(np.uint64)
                     dls = g["dl"].to_numpy(np.uint64)
@@ -216,13 +231,13 @@ class IndexBuilder:
                     row["salt"] = int(sa)
                     recs["shard"].append(sh)
                     recs["field"].append(fl)
-                    recs["term"].append(tm)
+                    recs["term_id"].append(tid)
                     recs["salt"].append(sa)
                     recs["payload"].append(_pack_partial(row))
                 return pd.DataFrame(recs)
 
             yield from _stream_groups(
-                batches, ["shard", "field", "term", "salt"], emit
+                batches, ["shard", "field", "term_id", "salt"], emit
             )
 
         partials = arranged.mapInPandas(encode_stream, schema=_PARTIAL_SCHEMA)
@@ -230,7 +245,7 @@ class IndexBuilder:
         # merge phase: narrow shuffle of already-compressed payloads,
         # then the same group-aware stream (no per-group pandas-DF
         # overhead like applyInPandas would pay per term).
-        merge_keys = ["shard", "field", "term"]
+        merge_keys = ["shard", "field", "term_id"]
         marranged = partials.repartition(n_parts, *merge_keys).sortWithinPartitions(
             *merge_keys, "salt"
         )
@@ -240,10 +255,12 @@ class IndexBuilder:
         ) -> Iterator[pd.DataFrame]:
             def emit(chunk: pd.DataFrame) -> pd.DataFrame:
                 rows = []
-                for (sh, fl, tm), g in chunk.groupby(merge_keys, sort=False):
+                for (sh, fl, tid), g in chunk.groupby(merge_keys, sort=False):
                     m = merge_salted([_unpack_partial(p) for p in g["payload"]])
                     m.pop("salt", None)
-                    rows.append({"shard": sh, "field": fl, "term": tm, **m})
+                    rows.append(
+                        {"shard": sh, "field": fl, "term_id": tid, **m}
+                    )
                 out = pd.DataFrame(rows)
                 return out[[f.name for f in schemas.POSTINGS.fields]]
 
@@ -268,6 +285,18 @@ class IndexBuilder:
         """
         spark = docs.sparkSession
         t0 = time.monotonic()
+        trace = os.environ.get("GXDIDX_TRACE") == "1"
+        _last = [t0]
+
+        def mark(stage: str) -> None:
+            if trace:
+                now = time.monotonic()
+                print(
+                    f"[build-trace] {stage}: {now - _last[0]:.1f}s",
+                    file=sys.stderr,
+                )
+                _last[0] = now
+
         os.makedirs(f"{index_dir}/ledger", exist_ok=True)
 
         # input fingerprint per shard: order-insensitive xor/sum over
@@ -283,6 +312,7 @@ class IndexBuilder:
         shard_fp = {
             int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}" for r in fp
         }
+        mark("fingerprint")
         done = self._read_ledger(index_dir)
         pending = sorted(
             s
@@ -301,7 +331,7 @@ class IndexBuilder:
             # wipe pending shards' artifacts so append stays exactly-once
             # (the reference's full-rebuild deleteByQuery analog, but
             # scoped to un-committed shards — Indexer.java:83-88).
-            for art in ("docs", "doc_stats", "postings"):
+            for art in ("docs", "doc_stats", "dict_parts", "postings"):
                 for s in pending:
                     shutil.rmtree(
                         f"{index_dir}/{art}/shard={s}", ignore_errors=True
@@ -311,6 +341,7 @@ class IndexBuilder:
             sub.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/docs"
             )
+            mark("docs_write")
             # tokenize ONCE; both doc_stats and postings consume it.
             # MEMORY_AND_DISK: at cluster scale this spills instead of
             # re-running the (expensive) tokenizer pass.
@@ -324,6 +355,17 @@ class IndexBuilder:
             doc_stats.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/doc_stats"
             )
+            # per-shard dictionary contributions: the ONLY consumer of
+            # the term string; partial agg shrinks it to ~vocab rows per
+            # partition before the (small) shuffle.
+            (
+                tf.groupBy("shard", "field", "term", "term_id")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                .write.mode("append")
+                .partitionBy("shard")
+                .parquet(f"{index_dir}/dict_parts")
+            )
+            mark("tokenize+doc_stats_write")
             # avgdl must be GLOBAL (all shards incl. previously built)
             all_stats = spark.read.parquet(f"{index_dir}/doc_stats")
             cs = (
@@ -336,16 +378,20 @@ class IndexBuilder:
                 .collect()
             )
             avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+            mark("corpus_stats")
             postings = self.postings_df(tf, avgdl)
             postings.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/postings"
             )
             tf.unpersist()
+            mark("postings")
         self._finalize_stats(spark, index_dir)
+        mark("finalize")
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         # ledger entries (per shard, atomic rename)
         built = self._shard_metrics(spark, index_dir, pending)
+        mark("shard_metrics")
         for s in pending:
             m = built.get(s, {"n_docs": 0, "n_postings": 0, "bytes": 0})
             self._write_ledger_entry(
@@ -393,13 +439,25 @@ class IndexBuilder:
     def _finalize_stats(self, spark: SparkSession, index_dir: str) -> None:
         """(Re)derive global dictionary + corpus_stats from artifacts —
         correct under resume because they aggregate ALL shards."""
-        postings = spark.read.parquet(f"{index_dir}/postings")
-        (
-            postings.groupBy("field", "term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/dictionary")
+        parts = spark.read.parquet(f"{index_dir}/dict_parts")
+        dictionary = parts.groupBy("field", "term", "term_id").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
+        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        # term_id collision check (functions/hashing.py): two distinct
+        # terms hashing to one id would silently merge posting lists.
+        clash = (
+            spark.read.parquet(f"{index_dir}/dictionary")
+            .groupBy("field", "term_id")
+            .agg(F.count_distinct("term").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        if clash:
+            raise RuntimeError(
+                f"{clash} term_id collisions detected — widen term_id "
+                "(hashing.py) before using this index"
+            )
         doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
         (
             doc_stats.groupBy("field")

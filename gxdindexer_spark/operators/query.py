@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.functions import analyze, bm25, hashing
 from gxdindexer_spark.operators import wand as wand_mod
 
 _HITS_SCHEMA = T.StructType(
@@ -40,7 +40,17 @@ _HITS_SCHEMA = T.StructType(
 
 
 class IndexQueryEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        preload_dictionary: int = 5_000_000,
+    ):
+        """``preload_dictionary``: if the dictionary has fewer rows than
+        this, collect it into a driver dict once (the reference's
+        broadcast HashMap cache, Indexer.java:280-321) so per-query term
+        lookup costs no Spark job. Bigger dictionaries fall back to a
+        pruned parquet scan per query. Set 0 to disable."""
         self.spark = spark
         self.index_dir = index_dir
         with open(f"{index_dir}/manifest.json") as fh:
@@ -49,12 +59,24 @@ class IndexQueryEngine:
         cs = spark.read.parquet(f"{index_dir}/corpus_stats").collect()
         self.n_docs = {r["field"]: int(r["n_docs"]) for r in cs}
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+        self._dict_cache: dict[tuple[str, str], int] | None = None
+        if preload_dictionary:
+            d = self.spark.read.parquet(f"{index_dir}/dictionary")
+            if d.count() <= preload_dictionary:
+                self._dict_cache = {
+                    (r["field"], r["term"]): int(r["df"]) for r in d.collect()
+                }
+
         self.weights = {
             f: w for f, w in bm25.field_weights().items() if f in self.fields
         }
         # fields outside the standard ladder get weight 1.0
         for f in self.fields:
             self.weights.setdefault(f, 1.0)
+
+    @staticmethod
+    def _tid(term: str) -> int:
+        return hashing.term_id(term)
 
     # ------------------------------------------------------------ plan
 
@@ -69,7 +91,11 @@ class IndexQueryEngine:
 
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf
-        input. Scan is pruned to the query terms (pushed filters)."""
+        input. Driver cache when preloaded, else a term-pruned scan."""
+        if self._dict_cache is not None:
+            return {
+                p: self._dict_cache[p] for p in pairs if p in self._dict_cache
+            }
         terms = sorted({t for _f, t in pairs})
         flds = sorted({f for f, _t in pairs})
         d = (
@@ -83,8 +109,11 @@ class IndexQueryEngine:
     def make_spec(self, query: str, fields: list[str] | None = None):
         pairs = self.analyze_query(query, fields)
         dfs = self._lookup_stats(pairs)
+        # plan keys are (field, term_id): the hash is computed HERE with
+        # the same md5 mapping the build used (functions/hashing.py)
         term_weights = {
-            (f, t): self.weights[f] * float(bm25.idf(self.n_docs[f], df))
+            (f, self._tid(t)): self.weights[f]
+            * float(bm25.idf(self.n_docs[f], df))
             for (f, t), df in dfs.items()
         }
         return wand_mod.QuerySpec(
@@ -107,10 +136,10 @@ class IndexQueryEngine:
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
             return self.spark.createDataFrame([], _HITS_SCHEMA)
-        terms = sorted({t for _f, t in spec.term_weights})
+        tids = sorted({t for _f, t in spec.term_weights})
         flds = sorted({f for f, _t in spec.term_weights})
         postings = self.spark.read.parquet(f"{self.index_dir}/postings").filter(
-            F.col("term").isin(terms) & F.col("field").isin(flds)
+            F.col("term_id").isin(tids) & F.col("field").isin(flds)
         )
         b_spec = self.spark.sparkContext.broadcast(spec)
         use_wand = mode == "wand"

@@ -34,24 +34,31 @@ from gxdindexer_spark.functions.codec import PostingList, posting_list_from_row
 
 @dataclass
 class QuerySpec:
-    """Broadcast query plan: per-(field,term) idf already multiplied by
-    the field weight; per-field avgdl; BM25 params."""
+    """Broadcast query plan: per-(field, term_id) idf already multiplied
+    by the field weight; per-field avgdl; BM25 params."""
 
-    term_weights: dict[tuple[str, str], float]  # (field, term) -> w_f * idf
+    term_weights: dict[tuple[str, int], float]  # (field, term_id) -> w*idf
     avgdl: dict[str, float]
     k1: float = bm25.K1
     b: float = bm25.B
 
 
 def _plists(postings: pd.DataFrame, spec: QuerySpec):
-    """postings rows -> [(field, term, weight, PostingList)] for terms
-    present in the spec, skipping zero-weight entries."""
+    """postings rows -> [(field, term_id, weight, PostingList)] for
+    terms present in the spec, skipping zero-weight entries."""
     out = []
     for r in postings.itertuples():
-        w = spec.term_weights.get((r.field, r.term), 0.0)
+        w = spec.term_weights.get((r.field, int(r.term_id)), 0.0)
         if w <= 0.0:
             continue
-        out.append((r.field, r.term, w, posting_list_from_row(r.term, r._asdict())))
+        out.append(
+            (
+                r.field,
+                r.term_id,
+                w,
+                posting_list_from_row(str(r.term_id), r._asdict()),
+            )
+        )
     return out
 
 

@@ -36,12 +36,14 @@ DOCS = T.StructType(
 )
 
 # ------------------------------------------------------- index artifacts
-# One row per (shard, field, term): compressed posting blocks.
+# One row per (shard, field, term_id): compressed posting blocks.
+# term_id (functions/hashing.py) instead of the string: posting
+# shuffles stay numeric; the dictionary holds term_id -> term.
 POSTINGS = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("field", T.StringType(), False),
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("df", T.LongType(), False),  # within shard
         T.StructField("cf", T.LongType(), False),  # within shard
         T.StructField("block_first", T.ArrayType(T.LongType()), False),
@@ -57,11 +59,13 @@ POSTINGS = T.StructType(
     ]
 )
 
-# Global dictionary: term stats across shards (for idf).
+# Global dictionary: term stats across shards (for idf) + the
+# term -> term_id mapping used by the query planner.
 DICTIONARY = T.StructType(
     [
         T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
     ]
@@ -107,12 +111,15 @@ HITS = T.StructType(
 )
 
 # Intermediate: per-(doc, field, term) frequencies out of the tokenizer.
+# Carries BOTH the string (consumed once by the small dictionary agg)
+# and term_id (the only key the posting shuffles touch).
 TERM_FREQS = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
     ]

@@ -86,11 +86,58 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--low", default="local[8]")
     p.add_argument("--high", default="local[32]")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="reps per level; min wall wins (least-interference "
+                        "sample — the sandbox host has noisy neighbors)")
     p.add_argument("--out", default="BENCH/BASELINE.md")
+    p.add_argument("--single", help="internal: run ONE level, print JSON")
     args = p.parse_args()
 
-    lo = run_once(args.low, args.docs, args.partitions, args.seed)
-    hi = run_once(args.high, args.docs, args.partitions, args.seed)
+    if args.single:
+        print(
+            "RESULT:"
+            + json.dumps(
+                run_once(args.single, args.docs, args.partitions, args.seed)
+            )
+        )
+        return 0
+
+    # each parallelism level runs in its OWN subprocess: a fresh JVM and
+    # fresh python workers per measurement, no cross-session residue.
+    import subprocess
+
+    def spawn(master: str) -> dict:
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--single", master,
+            "--docs", str(args.docs),
+            "--partitions", str(args.partitions),
+            "--seed", str(args.seed),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("RESULT:"):
+                return json.loads(line[len("RESULT:"):])
+        raise RuntimeError(f"no RESULT line from {master}")
+
+    def best_of(master: str) -> dict:
+        """min-wall of N reps: the sandbox host carries noisy-neighbor
+        load (loadavg >10 while idle), so the fastest rep is the
+        least-interfered sample of the engine's true cost."""
+        reps = []
+        for _ in range(max(args.repeat, 1)):
+            r = spawn(master)
+            r["loadavg_before"] = os.getloadavg()[0]
+            reps.append(r)
+        best = min(reps, key=lambda r: r["build_wall_sec"])
+        best["rep_walls"] = [r["build_wall_sec"] for r in reps]
+        return best
+
+    lo = best_of(args.low)
+    hi = best_of(args.high)
     ratio = hi["cores"] / lo["cores"]
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     result = {

@@ -243,3 +243,40 @@ def test_broadcast_join_for_small_dim(spark):
     part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     assert explain.has_broadcast_join(j)
+
+
+def test_smart_alpha_sort_key(spark):
+    """Reference O2 comparator (GxdImagePaneIndexer.java:280-300):
+    'a2' sorts before 'a10' under the smart-alpha key."""
+    from gxdindexer_spark.functions.sortkeys import smart_alpha_key
+
+    df = spark.createDataFrame(
+        [("a10",), ("a2",), ("a1b3",), ("a1b20",), ("b",), ("10",), ("2",)],
+        ["s"],
+    )
+    got = [r["s"] for r in df.orderBy(smart_alpha_key(F.col("s"))).collect()]
+    assert got == ["2", "10", "a1b3", "a1b20", "a2", "a10", "b"]
+
+
+def test_nested_struct_collect_and_json(spark):
+    """Reference A5 (genotype->{marker->{symbol,name}} nested map,
+    GxdResultIndexer.java:460-522) and F11 (JSON meta field)."""
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    rolled = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("c_custkey", "c_mktsegment"))
+            ).alias("customers")
+        )
+        .withColumn("as_json", F.to_json(F.struct("n_name", "customers")))
+    )
+    row = rolled.orderBy("n_name").first()
+    assert row["customers"][0]["c_custkey"] is not None
+    import json as _json
+
+    parsed = _json.loads(row["as_json"])
+    assert parsed["n_name"] == row["n_name"]
+    assert len(parsed["customers"]) == len(row["customers"])
