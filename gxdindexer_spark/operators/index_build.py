@@ -3,10 +3,11 @@
 Pipeline shape (all Arrow-batched, no per-row Python):
 
   docs (doc_id, shard, content/path/lang, content_sha256)
-    -> mapInPandas tokenize+tf         (TERM_FREQS rows)
-    -> repartition(shard, field, term, salt) + sortWithinPartitions
+    -> mapInPandas tokenize+tf            (TERM_FREQS rows, term + term_id)
+    -> [strings branch off to the small dict_parts agg here]
+    -> numeric-only repartition(shard, field, term_id, salt) + sort
     -> mapInPandas group-aware stream encode   (partial posting rows)
-    -> groupBy(shard, field, term) merge_salted (skew-safe final rows)
+    -> repartition(shard, field, term_id) + stream merge_salted
     -> write parquet partitioned by shard
 
 Skew handling (north_rule, SURVEY.md §4.1): stopword-like terms get

@@ -22,6 +22,7 @@ as a broadcast QuerySpec.
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +74,26 @@ class IndexQueryEngine:
         # fields outside the standard ladder get weight 1.0
         for f in self.fields:
             self.weights.setdefault(f, 1.0)
+        # Block-max metadata was computed with the avgdl in force at each
+        # shard's build. If the corpus grew since (incremental shards),
+        # the stored bounds are stale and pruning would be UNSAFE — in
+        # that case WAND transparently falls back to exact TAAT.
+        self.blockmax_safe = self._check_blockmax_safe()
+
+    def _check_blockmax_safe(self) -> bool:
+        ldir = os.path.join(self.index_dir, "ledger")
+        if not os.path.isdir(ldir):
+            return True
+        for fn in os.listdir(ldir):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(ldir, fn)) as fh:
+                entry = json.load(fh)
+            at_build = entry.get("avgdl_at_build") or {}
+            for f, v in at_build.items():
+                if abs(self.avgdl.get(f, v) - v) > 1e-9:
+                    return False
+        return True
 
     @staticmethod
     def _tid(term: str) -> int:
@@ -142,7 +163,7 @@ class IndexQueryEngine:
             F.col("term_id").isin(tids) & F.col("field").isin(flds)
         )
         b_spec = self.spark.sparkContext.broadcast(spec)
-        use_wand = mode == "wand"
+        use_wand = mode == "wand" and self.blockmax_safe
 
         def shard_topk(pg: pd.DataFrame) -> pd.DataFrame:
             if not len(pg):

@@ -223,6 +223,11 @@ def test_partial_build_resume(built, spark, tmpdir_idx):
         # query results identical too
         e1 = IndexQueryEngine(spark, tmpdir_idx)
         e2 = IndexQueryEngine(spark, ref_dir)
+        # incremental build shifted global avgdl after shards 0-1 were
+        # written -> their block-max metadata is stale -> the engine
+        # must detect it and fall back to exact TAAT under mode="wand"
+        assert e1.blockmax_safe is False
+        assert e2.blockmax_safe is True
         q = "getPostingBuffer import"
         assert (
             e1.topk(q, 10).collect() == e2.topk(q, 10).collect()
