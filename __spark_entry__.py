@@ -458,6 +458,26 @@ def embedding_neardup_exact_q(spark, sf_dir):
     ).filter(F.col("cos") >= 0.35)
 
 
+def embedding_neardup_lsh_q(spark, sf_dir):
+    """LSH-blocked near-dup pairs (scale path; engine-internal
+    hyperplanes -> rows-only check)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.3, n_planes=6)
+
+
+def multimodal_features_q(spark, sf_dir):
+    """Binary media -> deterministic fake feature vectors via
+    mapInPandas (decode stubbed; plumbing real) -> rows-only check."""
+    from gxdindexer_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d, "text")
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def multimodal_meta_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = d.select(
@@ -505,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk_q,
         "ann_lsh_topk": ann_lsh_topk_q,
         "embedding_neardup_exact": embedding_neardup_exact_q,
+        "embedding_neardup_lsh": embedding_neardup_lsh_q,
+        "multimodal_features": multimodal_features_q,
         "multimodal_meta": multimodal_meta_q,
     }
 
