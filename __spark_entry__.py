@@ -362,6 +362,30 @@ def bm25_index_wand(spark, sf_dir):
     return _bm25_index(spark, sf_dir, "wand")
 
 
+WILDCARD_QUERY = "st* join"  # prefix rewrite + plain term
+BOOLEAN_QUERY = "+table -merge spark"  # must / must_not / should
+
+
+def bm25_wildcard(spark, sf_dir):
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(WILDCARD_QUERY, k=BM25_K, mode="taat")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def bm25_boolean(spark, sf_dir):
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(BOOLEAN_QUERY, k=BM25_K, mode="wand")  # falls back
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def match_count_or(spark, sf_dir):
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    return eng.count_matches(WILDCARD_QUERY)
+
+
 def dedup_exact_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.dedup_exact(d, text_col="text", id_col="doc_id")
@@ -513,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_brute": bm25_brute,
         "bm25_index_taat": bm25_index_taat,
         "bm25_index_wand": bm25_index_wand,
+        "bm25_wildcard": bm25_wildcard,
+        "bm25_boolean": bm25_boolean,
+        "match_count_or": match_count_or,
         "dedup_exact": dedup_exact_q,
         "fingerprint": fingerprint_q,
         "token_counts": token_counts_q,
@@ -539,12 +566,16 @@ _TOKS_CTE = (
     "FROM documents)"
 )
 
-_BM25_SQL = f"""
+def _bm25_sql(term_cond: str, k: int = BM25_K, bool_where: str = "") -> str:
+    """BM25 oracle generator: ``term_cond`` selects the scoring terms
+    (IN-list or LIKE for wildcard rewrite); ``bool_where`` appends
+    boolean-clause filters over the scored docs."""
+    return f"""
 {_TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+q AS (SELECT DISTINCT term FROM tf WHERE {term_cond}),
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
         WHERE term IN (SELECT term FROM q) GROUP BY 1),
 scored AS (
@@ -555,8 +586,17 @@ scored AS (
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 4) AS score FROM scored
-ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+{bool_where}
+ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _in_list(terms: list[str]) -> str:
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"term IN ({quoted})"
+
+
+_BM25_SQL = _bm25_sql(_in_list(BM25_TERMS))
 
 _MINHASH_X = (
     "(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)"
@@ -843,6 +883,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute": _BM25_SQL,
         "bm25_index_taat": _BM25_SQL,
         "bm25_index_wand": _BM25_SQL,
+        "bm25_wildcard": _bm25_sql("term LIKE 'st%' OR term = 'join'"),
+        "bm25_boolean": _bm25_sql(
+            _in_list(["table", "spark"]),
+            bool_where=(
+                "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+                "AND doc_id NOT IN "
+                "(SELECT doc_id FROM tf WHERE term = 'merge')"
+            ),
+        ),
+        "match_count_or": f"""
+            {_TOKS_CTE}
+            SELECT count(DISTINCT doc_id)::BIGINT AS n_matches
+            FROM toks WHERE term LIKE 'st%' OR term = 'join'
+        """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hh
                        FROM documents),

@@ -101,14 +101,61 @@ class IndexQueryEngine:
 
     # ------------------------------------------------------------ plan
 
+    @staticmethod
+    def parse_query(query: str) -> list[tuple[str, str, bool]]:
+        """Lite Lucene-style syntax -> [(raw_token, kind, is_prefix)].
+
+        kind: 'should' (default), 'must' ('+tok'), 'must_not' ('-tok');
+        a trailing '*' marks prefix/wildcard expansion. Parsed BEFORE
+        analysis (the analyzers strip punctuation)."""
+        out = []
+        for raw in query.split():
+            kind = "should"
+            if raw.startswith("+"):
+                kind, raw = "must", raw[1:]
+            elif raw.startswith("-"):
+                kind, raw = "must_not", raw[1:]
+            is_prefix = raw.endswith("*")
+            if is_prefix:
+                raw = raw[:-1]
+            if raw:
+                out.append((raw, kind, is_prefix))
+        return out
+
     def analyze_query(self, query: str, fields: list[str] | None = None):
-        """-> {(field, term)} with per-field analyzers (index parity)."""
+        """-> [(field, term)] with per-field analyzers (index parity)."""
         fields = fields or list(self.fields)
         pairs = []
         for f in fields:
             for t in analyze.tokenize_query(query, self.fields[f]):
                 pairs.append((f, t))
         return pairs
+
+    def expand_prefix(
+        self, field: str, prefix: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Dictionary prefix scan -> matching terms (wildcard rewrite;
+        Lucene's MultiTermQuery expansion, scored as full BM25 like the
+        scoring-boolean rewrite). Driver cache when preloaded, else a
+        pushed-down LIKE scan."""
+        if self._dict_cache is not None:
+            terms = sorted(
+                t
+                for (f, t) in self._dict_cache
+                if f == field and t.startswith(prefix)
+            )
+        else:
+            rows = (
+                self.spark.read.parquet(f"{self.index_dir}/dictionary")
+                .filter(
+                    (F.col("field") == field)
+                    & F.col("term").startswith(prefix)
+                )
+                .select("term")
+                .collect()
+            )
+            terms = sorted(r["term"] for r in rows)
+        return terms[:max_expansions] if max_expansions else terms
 
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf
@@ -128,8 +175,26 @@ class IndexQueryEngine:
         return {p: stats[p] for p in pairs if p in stats}
 
     def make_spec(self, query: str, fields: list[str] | None = None):
-        pairs = self.analyze_query(query, fields)
-        dfs = self._lookup_stats(pairs)
+        fields = fields or list(self.fields)
+        scoring_pairs: list[tuple[str, str]] = []
+        must_groups: list[list[tuple[str, str]]] = []
+        must_not_pairs: list[tuple[str, str]] = []
+        for raw, kind, is_prefix in self.parse_query(query):
+            group: list[tuple[str, str]] = []
+            for f in fields:
+                toks = analyze.tokenize_query(raw, self.fields[f])
+                if is_prefix:
+                    base = toks[0] if toks else raw.lower()
+                    group += [(f, t) for t in self.expand_prefix(f, base)]
+                else:
+                    group += [(f, t) for t in toks]
+            if kind == "must_not":
+                must_not_pairs += group
+            else:
+                scoring_pairs += group
+                if kind == "must":
+                    must_groups.append(group)
+        dfs = self._lookup_stats(scoring_pairs)
         # plan keys are (field, term_id): the hash is computed HERE with
         # the same md5 mapping the build used (functions/hashing.py)
         term_weights = {
@@ -142,6 +207,13 @@ class IndexQueryEngine:
             avgdl=dict(self.avgdl),
             k1=float(self.manifest["k1"]),
             b=float(self.manifest["b"]),
+            must_groups=tuple(
+                frozenset((f, self._tid(t)) for f, t in g)
+                for g in must_groups
+            ),
+            must_not=frozenset(
+                (f, self._tid(t)) for f, t in must_not_pairs
+            ),
         )
 
     # ----------------------------------------------------------- execute
@@ -157,13 +229,12 @@ class IndexQueryEngine:
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
             return self.spark.createDataFrame([], _HITS_SCHEMA)
-        tids = sorted({t for _f, t in spec.term_weights})
-        flds = sorted({f for f, _t in spec.term_weights})
-        postings = self.spark.read.parquet(f"{self.index_dir}/postings").filter(
-            F.col("term_id").isin(tids) & F.col("field").isin(flds)
-        )
+        postings = self._postings_for(spec)
         b_spec = self.spark.sparkContext.broadcast(spec)
-        use_wand = mode == "wand" and self.blockmax_safe
+        # boolean clauses need the full candidate doc sets -> exact TAAT
+        use_wand = (
+            mode == "wand" and self.blockmax_safe and not spec.is_boolean
+        )
 
         def shard_topk(pg: pd.DataFrame) -> pd.DataFrame:
             if not len(pg):
@@ -179,6 +250,47 @@ class IndexQueryEngine:
             shard_topk, schema=_HITS_SCHEMA
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _postings_for(self, spec):
+        """Pruned postings scan covering scoring + boolean clause terms."""
+        keys = (
+            set(spec.term_weights)
+            | {m for g in spec.must_groups for m in g}
+            | set(spec.must_not)
+        )
+        tids = sorted({t for _f, t in keys})
+        flds = sorted({f for f, _t in keys})
+        return self.spark.read.parquet(f"{self.index_dir}/postings").filter(
+            F.col("term_id").isin(tids) & F.col("field").isin(flds)
+        )
+
+    def count_matches(
+        self, query: str, fields: list[str] | None = None
+    ) -> DataFrame:
+        """Number of distinct docs matching the query (OR over scoring
+        terms, boolean clauses applied) — the facet-count primitive
+        whose slowness in the reference motivated a whole materialized
+        index (GxdResultHasImageIndexer.java:25-32). Shards partition
+        docID space, so the global distinct is the SUM of per-shard
+        distinct counts — no distinct shuffle."""
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [T.StructField("n_matches", T.LongType(), False)]
+        )
+        if not spec.term_weights:
+            return self.spark.createDataFrame([(0,)], out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+
+        def shard_count(pg: pd.DataFrame) -> pd.DataFrame:
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            return pd.DataFrame({"n_matches": [int(ids.size)]})
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_count, schema=out_schema
+        )
+        return local.agg(
+            F.coalesce(F.sum("n_matches"), F.lit(0)).alias("n_matches")
+        )
 
 
 def brute_force_bm25_df(

@@ -35,12 +35,26 @@ from gxdindexer_spark.functions.codec import PostingList, posting_list_from_row
 @dataclass
 class QuerySpec:
     """Broadcast query plan: per-(field, term_id) idf already multiplied
-    by the field weight; per-field avgdl; BM25 params."""
+    by the field weight; per-field avgdl; BM25 params; boolean clauses.
+
+    ``must_groups``: one entry per '+token' — a set of (field, term_id)
+    alternatives; a doc must match AT LEAST ONE member of EVERY group
+    (Lucene BooleanQuery MUST over multi-field term expansion).
+    ``must_not``: (field, term_id) pairs that exclude a doc outright.
+    Boolean queries score exactly like pure should-queries over the
+    scoring terms; excluded/unmatched docs are filtered afterward.
+    """
 
     term_weights: dict[tuple[str, int], float]  # (field, term_id) -> w*idf
     avgdl: dict[str, float]
     k1: float = bm25.K1
     b: float = bm25.B
+    must_groups: tuple = ()  # tuple[frozenset[(field, term_id)], ...]
+    must_not: frozenset = frozenset()  # frozenset[(field, term_id)]
+
+    @property
+    def is_boolean(self) -> bool:
+        return bool(self.must_groups) or bool(self.must_not)
 
 
 def _plists(postings: pd.DataFrame, spec: QuerySpec):
@@ -81,28 +95,68 @@ def taat(
     spec: QuerySpec,
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact vectorized term-at-a-time scoring; returns top-k arrays."""
-    lists = _plists(postings, spec)
-    if not lists:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+    """Exact vectorized term-at-a-time scoring (with boolean clause
+    filtering); returns top-k arrays."""
+    # decode every relevant posting row ONCE, keyed (field, term_id) —
+    # must_not terms carry no weight but still need their doc sets
+    decoded: dict[tuple[str, int], tuple] = {}
+    needed = (
+        set(spec.term_weights)
+        | {m for g in spec.must_groups for m in g}
+        | set(spec.must_not)
+    )
+    for r in postings.itertuples():
+        key = (r.field, int(r.term_id))
+        if key in needed:
+            decoded[key] = posting_list_from_row(
+                str(r.term_id), r._asdict()
+            ).decode_all()
     all_docs, all_contrib = [], []
-    for field, _term, w, pl in lists:
-        docs, tfs, dls = pl.decode_all()
+    for key, (docs, tfs, dls) in decoded.items():
+        w = spec.term_weights.get(key, 0.0)
+        if w <= 0.0:
+            continue
         contrib = w * bm25.tf_norm(
             tfs.astype(np.float64),
             dls.astype(np.float64),
-            spec.avgdl[field],
+            spec.avgdl[key[0]],
             spec.k1,
             spec.b,
         )
         all_docs.append(docs)
         all_contrib.append(contrib)
+    if not all_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.concatenate(all_docs)
     contrib = np.concatenate(all_contrib)
     uniq, inv = np.unique(docs, return_inverse=True)
     scores = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(scores, inv, contrib)
+    # boolean clause filters (Lucene BooleanQuery semantics)
+    keep = np.ones(uniq.size, dtype=bool)
+    for group in spec.must_groups:
+        gdocs = [decoded[m][0] for m in group if m in decoded]
+        matched = (
+            np.isin(uniq, np.concatenate(gdocs))
+            if gdocs
+            else np.zeros(uniq.size, dtype=bool)
+        )
+        keep &= matched
+    if spec.must_not:
+        xdocs = [decoded[m][0] for m in spec.must_not if m in decoded]
+        if xdocs:
+            keep &= ~np.isin(uniq, np.concatenate(xdocs))
+    uniq, scores = uniq[keep], scores[keep]
     return _topk_from_scores(uniq, scores, k)
+
+
+def match_docs(postings: pd.DataFrame, spec: QuerySpec) -> np.ndarray:
+    """Distinct doc ids matching ANY scoring term (OR semantics), with
+    boolean clauses applied — the facet/count primitive behind the
+    reference's `Hoxd*` image-count query
+    (GxdResultHasImageIndexer.java:25-32)."""
+    ids, _scores = taat(postings, spec, k=1 << 62)
+    return ids
 
 
 class _Cursor:

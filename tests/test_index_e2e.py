@@ -234,3 +234,47 @@ def test_partial_build_resume(built, spark, tmpdir_idx):
         )
     finally:
         shutil.rmtree(ref_dir, ignore_errors=True)
+
+
+def test_boolean_query_semantics(built, spark):
+    """+must / -must_not clauses vs set algebra over the oracle corpus
+    (content field only; multi-field alternatives covered implicitly)."""
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    toks = {
+        int(d): set(t)
+        for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
+    }
+    got = eng.topk("+if -return import", k=400, fields=["content"]).collect()
+    got_ids = {r["doc_id"] for r in got}
+    # every hit must contain 'if' and not 'return'
+    assert got_ids
+    assert all("if" in toks[d] and "return" not in toks[d] for d in got_ids)
+    # and every qualifying doc that matches a scoring term is present
+    expect = {
+        d
+        for d, ts in toks.items()
+        if "if" in ts and "return" not in ts and ({"if", "import"} & ts)
+    }
+    assert got_ids == expect
+
+
+def test_wildcard_expansion_and_count(built, spark):
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    exp = eng.expand_prefix("content", "merge")
+    assert exp and all(t.startswith("merge") for t in exp)
+    toks = {
+        int(d): set(t)
+        for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
+    }
+    n = eng.count_matches("merge*", fields=["content"]).first()["n_matches"]
+    expect = sum(
+        1 for ts in toks.values() if any(t.startswith("merge") for t in ts)
+    )
+    assert n == expect
+    # wildcard top-k scores only docs with matching terms
+    hits = eng.topk("merge*", k=5, fields=["content"]).collect()
+    assert hits and all(
+        any(t.startswith("merge") for t in toks[r["doc_id"]]) for r in hits
+    )
