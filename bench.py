@@ -93,6 +93,17 @@ def main() -> int:
             lats.append(time.monotonic() - t0)
         timings[f"bm25_{mode}_p50"] = round(sorted(lats)[len(lats) // 2], 3)
         timings[f"bm25_{mode}_max"] = round(max(lats), 3)
+    # wildcard rewrite, boolean clauses, and the facet-count primitive
+    # (the reference's >18s Hoxd* pain point, GxdResultHasImageIndexer)
+    t0 = time.monotonic()
+    eng.topk("st* join", k=20, mode="taat").collect()
+    timings["bm25_wildcard"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    eng.topk("+table -merge spark", k=20).collect()
+    timings["bm25_boolean"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    eng.count_matches("st* join").collect()
+    timings["match_count_wildcard"] = round(time.monotonic() - t0, 3)
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:
