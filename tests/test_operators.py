@@ -280,3 +280,45 @@ def test_nested_struct_collect_and_json(spark):
     parsed = _json.loads(row["as_json"])
     assert parsed["n_name"] == row["n_name"]
     assert len(parsed["customers"]) == len(row["customers"])
+
+
+def test_q1_plan_single_exchange_and_pushdown(spark):
+    """TPC-H Q1 shape: one shuffle (partial+final agg), filter pushed
+    to the parquet scan, only needed columns read."""
+    import __spark_entry__ as entry
+
+    q = entry.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    # <=2 exchanges: the agg shuffle (+ the orderBy range exchange)
+    assert explain.count_exchanges(q) <= 2
+    assert any("l_shipdate" in f for f in explain.pushed_filters(q))
+    rs = explain.read_schemas(q)
+    assert rs and all("l_orderkey" not in s for s in rs)  # pruned
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    import __spark_entry__ as entry
+
+    q = entry.join_multiway_revenue(spark, "/root/testdata/sf0.001")
+    assert explain.has_broadcast_join(q)
+    # region filter is pushed down to the region scan
+    assert any("r_name" in f for f in explain.pushed_filters(q))
+
+
+def test_postings_scan_pushes_term_id(spark, tmp_path):
+    """Query-path scan must push term_id/field filters into parquet."""
+    from gxdindexer_spark.operators.index_build import IndexBuilder
+    from gxdindexer_spark.sources.synth import generate_corpus
+    from gxdindexer_spark.sources.tables import prepare_docs
+
+    idx = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 60, seed=11, partitions=2)
+    docs = prepare_docs(corpus, docs_per_shard=30, partitions=2)
+    IndexBuilder(docs_per_shard=30, salt_range=16, block_size=8).build(
+        docs, idx, resume=False
+    )
+    scan = spark.read.parquet(f"{idx}/postings").filter(
+        (F.col("term_id") == 12345) & (F.col("field") == "content")
+    )
+    pf = explain.pushed_filters(scan)
+    assert any("term_id" in f for f in pf)
+    assert any("field" in f for f in pf)
