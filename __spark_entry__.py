@@ -62,6 +62,30 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ensure_index_pos(spark: SparkSession, sf_dir: str) -> str:
+    """Positional variant of the entry index (phrase queries)."""
+    idx = _index_dir_for(sf_dir) + "_pos"
+    builder = IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+        with_positions=True,
+    )
+    builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
+    return idx
+
+
+PHRASE_QUERY = "table part"
+
+
+def bm25_phrase(spark, sf_dir):
+    idx = _ensure_index_pos(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.phrase_topk(PHRASE_QUERY, k=15, field="content")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
@@ -539,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_wand": bm25_index_wand,
         "bm25_wildcard": bm25_wildcard,
         "bm25_boolean": bm25_boolean,
+        "bm25_phrase": bm25_phrase,
         "match_count_or": match_count_or,
         "dedup_exact": dedup_exact_q,
         "fingerprint": fingerprint_q,
@@ -896,6 +921,40 @@ def oracle_sql() -> dict[str, str]:
             {_TOKS_CTE}
             SELECT count(DISTINCT doc_id)::BIGINT AS n_matches
             FROM toks WHERE term LIKE 'st%' OR term = 'join'
+        """,
+        "bm25_phrase": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            flat AS (
+              SELECT doc_id, u.t AS term, u.p AS p
+              FROM (SELECT doc_id, unnest(list_transform(
+                       range(1, len(toks) + 1),
+                       i -> struct_pack(t := toks[i], p := i))) AS u
+                    FROM tk)),
+            dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tk),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+                      FROM dl),
+            dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM flat WHERE term IN ('table', 'part') GROUP BY 1),
+            idfsum AS (SELECT sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)))
+                         AS s FROM dfs CROSS JOIN stats),
+            pf AS (SELECT a.doc_id, count(*)::DOUBLE AS pf
+                   FROM flat a JOIN flat b
+                     ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   WHERE a.term = 'table' AND b.term = 'part'
+                   GROUP BY 1),
+            scored AS (
+              SELECT pf.doc_id,
+                     idfsum.s * pf.pf
+                       / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS sc
+              FROM pf JOIN dl USING (doc_id)
+              CROSS JOIN stats CROSS JOIN idfsum)
+            SELECT doc_id, round(sc, 4) AS score FROM scored
+            ORDER BY sc DESC, doc_id ASC LIMIT 15
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hh

@@ -122,6 +122,86 @@ def term_freqs(
     return out[["doc_id", "term", "tf", "dl"]]
 
 
+def _with_positions_one(toks: list[str], expand: bool) -> list[tuple[str, int]]:
+    """Token positions, Lucene WordDelimiter-style: originals at their
+    document index; sub-token expansions share the original's position."""
+    out = [(t.lower(), i) for i, t in enumerate(toks)]
+    if expand:
+        for i, t in enumerate(toks):
+            ps = SUB_TOKEN_RE.findall(t)
+            if len(ps) > 1:
+                out.extend((p.lower(), i) for p in ps)
+    return out
+
+
+def tokens_with_positions(
+    text: pd.Series, tokenizer: str = "code"
+) -> pd.Series:
+    """Series[str] -> Series[list[(token, position)]]."""
+    if tokenizer == "simple":
+        return text.fillna("").str.lower().str.findall(SIMPLE_TOKEN_RE).map(
+            lambda ts: list(zip(ts, range(len(ts))))
+        )
+    if tokenizer == "lang":
+        return lang_tokens(text).map(
+            lambda ts: [(t, 0) for t in ts]
+        )
+    src = text.fillna("")
+    if tokenizer == "path":
+        src = src.str.replace(PATH_SEP_RE, " ", regex=True)
+    return src.str.findall(RAW_TOKEN_RE).map(
+        lambda ts: _with_positions_one(ts, expand=True)
+    )
+
+
+def term_freqs_positions(
+    doc_ids: pd.Series, texts: pd.Series, tokenizer: str = "code"
+) -> pd.DataFrame:
+    """Like ``term_freqs`` but adds a ``positions`` column: the sorted
+    token positions of each (doc, term) — the phrase-query payload."""
+    pairs = tokens_with_positions(texts, tokenizer)
+    dl = pairs.map(lambda ps: 1 + max((p for _t, p in ps), default=-1)).astype(
+        np.int64
+    )
+    # dl = token count of the ORIGINAL stream (positions are indexes)
+    frame = pd.DataFrame(
+        {"doc_id": doc_ids.to_numpy(), "pair": pairs, "dl": dl.to_numpy()}
+    )
+    frame = frame.explode("pair", ignore_index=True)
+    frame = frame[frame["pair"].notna()]
+    if frame.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "dl": pd.Series([], dtype=np.int64),
+                "positions": pd.Series([], dtype=object),
+            }
+        )
+    frame["term"] = frame["pair"].str[0]
+    frame["pos"] = frame["pair"].str[1]
+    out = (
+        frame.groupby(["doc_id", "term", "dl"], sort=False)["pos"]
+        .agg(lambda s: sorted(s))
+        .rename("positions")
+        .reset_index()
+    )
+    out["tf"] = out["positions"].str.len()
+    return out[["doc_id", "term", "tf", "dl", "positions"]]
+
+
+def phrase_tokens(query: str, tokenizer: str = "code") -> list[str]:
+    """Query-side phrase analysis: the ORIGINAL token sequence in
+    document order (no word-part expansions, no dedup) — position i of
+    the result must match indexed position offsets."""
+    pairs = tokens_with_positions(pd.Series([query]), tokenizer).iloc[0]
+    by_pos: dict[int, str] = {}
+    for tok, pos in pairs:  # first token seen at a position = original
+        by_pos.setdefault(pos, tok)
+    return [by_pos[p] for p in sorted(by_pos)]
+
+
 def tokenize_query(query: str, tokenizer: str = "code") -> list[str]:
     """Query-side analysis — must match the index-side analyzer
     (SURVEY.md §3.4). Dedups while preserving order."""

@@ -134,6 +134,10 @@ class PostingList:
     docs_buf: bytes
     tfs_buf: bytes
     dls_buf: bytes  # per-posting doc length (Lucene-norms analog)
+    # optional positional payload: per posting [npos, pos0, deltas...]
+    # varbyte-concatenated per block (empty when built without positions)
+    pos_offsets: np.ndarray | None = None
+    pos_buf: bytes = b""
 
     @property
     def n_blocks(self) -> int:
@@ -153,6 +157,27 @@ class PostingList:
             self.dls_buf[self.dl_offsets[i] : self.dl_offsets[i + 1]], n
         )
         return docs, tfs, dls
+
+    def decode_block_positions(self, i: int) -> list[np.ndarray]:
+        """-> per-posting ascending position arrays for block i."""
+        if self.pos_offsets is None or not len(self.pos_buf):
+            raise ValueError("posting list was built without positions")
+        vals = varbyte_decode(
+            self.pos_buf[self.pos_offsets[i] : self.pos_offsets[i + 1]]
+        ).astype(np.int64)
+        out: list[np.ndarray] = []
+        p = 0
+        for _ in range(int(self.block_count[i])):
+            n = int(vals[p])
+            out.append(np.cumsum(vals[p + 1 : p + 1 + n]))
+            p += 1 + n
+        return out
+
+    def decode_all_positions(self) -> list[np.ndarray]:
+        out: list[np.ndarray] = []
+        for i in range(self.n_blocks):
+            out.extend(self.decode_block_positions(i))
+        return out
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         gaps = varbyte_decode(self.docs_buf)
@@ -174,6 +199,7 @@ def encode_postings(
     tf_norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
     dls: np.ndarray | None = None,
+    positions: list | None = None,
 ) -> dict:
     """Encode one term's docID-sorted postings into compressed blocks.
 
@@ -196,7 +222,8 @@ def encode_postings(
             "df": 0, "cf": 0, "block_first": [], "block_last": [],
             "block_max_tfn": [], "block_count": [], "doc_offsets": [0],
             "tf_offsets": [0], "dl_offsets": [0], "docs_buf": b"",
-            "tfs_buf": b"", "dls_buf": b"",
+            "tfs_buf": b"", "dls_buf": b"", "pos_offsets": [0],
+            "pos_buf": b"",
         }
     nblocks = (n + block_size - 1) // block_size
     starts = np.arange(nblocks, dtype=np.int64) * block_size
@@ -221,6 +248,42 @@ def encode_postings(
     m32 = m64.astype(np.float32)
     bump = m32.astype(np.float64) < m64
     m32[bump] = np.nextafter(m32[bump], np.float32(np.inf))
+    # optional positions payload: per posting [npos, first, deltas...]
+    pos_off = [0] * (nblocks + 1)
+    pos_buf = b""
+    if positions is not None:
+        counts = np.fromiter(
+            (len(p) for p in positions), dtype=np.int64, count=n
+        )
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        # delta within each posting (first absolute)
+        pstarts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=pstarts[1:])
+        deltas = flat.copy()
+        if flat.size:
+            deltas[1:] = np.diff(flat)
+            nz = pstarts[counts > 0]
+            deltas[nz] = flat[nz]
+        # interleave [count, deltas...] per posting
+        vstarts = pstarts + np.arange(n)  # +1 slot per preceding posting
+        big = np.zeros(n + int(counts.sum()), dtype=np.uint64)
+        big[vstarts] = counts.astype(np.uint64)
+        mask = np.ones(big.size, dtype=bool)
+        mask[vstarts] = False
+        big[mask] = deltas.astype(np.uint64)
+        # per-block offsets: values per block via reduceat over (1+count)
+        per_posting = counts + 1
+        vals_per_block = np.add.reduceat(per_posting, starts)
+        vcum = np.zeros(nblocks + 1, dtype=np.int64)
+        np.cumsum(vals_per_block, out=vcum[1:])
+        byte_cum = np.zeros(big.size + 1, dtype=np.int64)
+        np.cumsum(_varbyte_lengths(big), out=byte_cum[1:])
+        pos_off = byte_cum[vcum].tolist()
+        pos_buf = varbyte_encode(big)
     return {
         "df": n,
         "cf": int(tfs.sum()),
@@ -234,6 +297,8 @@ def encode_postings(
         "docs_buf": varbyte_encode(gaps),
         "tfs_buf": varbyte_encode(tfs),
         "dls_buf": varbyte_encode(dls),
+        "pos_offsets": pos_off,
+        "pos_buf": pos_buf,
     }
 
 
@@ -271,6 +336,12 @@ def posting_list_from_row(term: str, row: dict) -> PostingList:
         docs_buf=bytes(row["docs_buf"]),
         tfs_buf=bytes(row["tfs_buf"]),
         dls_buf=bytes(row["dls_buf"]),
+        pos_offsets=(
+            np.asarray(row["pos_offsets"], dtype=np.int64)
+            if row.get("pos_offsets") is not None
+            else None
+        ),
+        pos_buf=bytes(row.get("pos_buf") or b""),
     )
 
 
@@ -298,16 +369,19 @@ def merge_salted(parts: list[dict]) -> dict:
         "doc_offsets": [0],
         "tf_offsets": [0],
         "dl_offsets": [0],
+        "pos_offsets": [0],
         "docs_buf": b"",
         "tfs_buf": b"",
         "dls_buf": b"",
+        "pos_buf": b"",
     }
-    dbufs, tbufs, lbufs = [], [], []
+    dbufs, tbufs, lbufs, pbufs = [], [], [], []
     for p in parts:
-        d0, t0, l0 = (
+        d0, t0, l0, p0 = (
             out["doc_offsets"][-1],
             out["tf_offsets"][-1],
             out["dl_offsets"][-1],
+            out["pos_offsets"][-1],
         )
         out["block_first"] += list(p["block_first"])
         out["block_last"] += list(p["block_last"])
@@ -316,10 +390,14 @@ def merge_salted(parts: list[dict]) -> dict:
         out["doc_offsets"] += [d0 + o for o in p["doc_offsets"][1:]]
         out["tf_offsets"] += [t0 + o for o in p["tf_offsets"][1:]]
         out["dl_offsets"] += [l0 + o for o in p["dl_offsets"][1:]]
+        pos_off = p.get("pos_offsets") or [0] * len(p["doc_offsets"])
+        out["pos_offsets"] += [p0 + o for o in pos_off[1:]]
         dbufs.append(p["docs_buf"])
         tbufs.append(p["tfs_buf"])
         lbufs.append(p["dls_buf"])
+        pbufs.append(p.get("pos_buf") or b"")
     out["docs_buf"] = b"".join(dbufs)
     out["tfs_buf"] = b"".join(tbufs)
     out["dls_buf"] = b"".join(lbufs)
+    out["pos_buf"] = b"".join(pbufs)
     return out

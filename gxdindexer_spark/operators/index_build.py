@@ -48,9 +48,14 @@ DEFAULT_FIELDS = {"content": "code", "path": "path", "lang": "lang"}
 
 
 def term_freqs_df(
-    docs: DataFrame, fields: dict[str, str] | None = None
+    docs: DataFrame,
+    fields: dict[str, str] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """docs -> (doc_id, shard, field, term, tf, dl) via one tokenize pass."""
+    """docs -> (doc_id, shard, field, term, term_id, tf, dl[, positions])
+    via one tokenize pass. With positions on, ``dl`` counts token
+    POSITIONS (Lucene semantics: word-part expansions share their
+    original's position and don't lengthen the doc)."""
     fields = fields or DEFAULT_FIELDS
 
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,14 +64,25 @@ def term_freqs_df(
                 continue
             shard_of = pdf.set_index("doc_id")["shard"]
             for field, tokenizer in fields.items():
-                tf = analyze.term_freqs(pdf["doc_id"], pdf[field], tokenizer)
+                if with_positions:
+                    tf = analyze.term_freqs_positions(
+                        pdf["doc_id"], pdf[field], tokenizer
+                    )
+                else:
+                    tf = analyze.term_freqs(
+                        pdf["doc_id"], pdf[field], tokenizer
+                    )
+                    tf["positions"] = [[] for _ in range(len(tf))]
                 if not len(tf):
                     continue
                 tf.insert(1, "shard", shard_of.loc[tf["doc_id"]].to_numpy())
                 tf.insert(2, "field", field)
                 tf["term_id"] = hashing.term_ids(tf["term"])
                 yield tf[
-                    ["doc_id", "shard", "field", "term", "term_id", "tf", "dl"]
+                    [
+                        "doc_id", "shard", "field", "term", "term_id",
+                        "tf", "dl", "positions",
+                    ]
                 ]
 
     cols = ["doc_id", "shard"] + list(fields)
@@ -99,6 +115,7 @@ def _pack_partial(row: dict) -> bytes:
             "doc_offsets",
             "tf_offsets",
             "dl_offsets",
+            "pos_offsets",
         )
     }
     hb = json.dumps(head).encode()
@@ -107,9 +124,11 @@ def _pack_partial(row: dict) -> bytes:
         + hb
         + len(row["docs_buf"]).to_bytes(8, "little")
         + len(row["tfs_buf"]).to_bytes(8, "little")
+        + len(row["dls_buf"]).to_bytes(8, "little")
         + row["docs_buf"]
         + row["tfs_buf"]
         + row["dls_buf"]
+        + row["pos_buf"]
     )
 
 
@@ -118,10 +137,12 @@ def _unpack_partial(buf: bytes) -> dict:
     head = json.loads(buf[4 : 4 + hlen].decode())
     dlen = int.from_bytes(buf[4 + hlen : 12 + hlen], "little")
     tlen = int.from_bytes(buf[12 + hlen : 20 + hlen], "little")
-    p = 20 + hlen
+    llen = int.from_bytes(buf[20 + hlen : 28 + hlen], "little")
+    p = 28 + hlen
     head["docs_buf"] = bytes(buf[p : p + dlen])
     head["tfs_buf"] = bytes(buf[p + dlen : p + dlen + tlen])
-    head["dls_buf"] = bytes(buf[p + dlen + tlen :])
+    head["dls_buf"] = bytes(buf[p + dlen + tlen : p + dlen + tlen + llen])
+    head["pos_buf"] = bytes(buf[p + dlen + tlen + llen :])
     return head
 
 
@@ -172,6 +193,7 @@ class IndexBuilder:
         block_size: int = 128,
         k1: float = bm25.K1,
         b: float = bm25.B,
+        with_positions: bool = False,
     ):
         self.fields = fields or DEFAULT_FIELDS
         self.docs_per_shard = docs_per_shard
@@ -179,6 +201,7 @@ class IndexBuilder:
         self.block_size = block_size
         self.k1 = k1
         self.b = b
+        self.with_positions = with_positions
 
     # ------------------------------------------------------------ build
 
@@ -188,17 +211,21 @@ class IndexBuilder:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         b_avgdl = spark.sparkContext.broadcast(avgdl)
         k1, b_, bs = self.k1, self.b, self.block_size
+        with_pos = self.with_positions
         # drop the term STRING before the wide shuffles: only numeric
         # columns (plus the tiny field tag) cross the Arrow boundary.
-        salted = tf.select(
-            "shard",
-            "field",
-            "term_id",
+        cols = [
+            F.col("shard"),
+            F.col("field"),
+            F.col("term_id"),
             (F.col("doc_id") / self.salt_range).cast("int").alias("salt"),
-            "doc_id",
-            "tf",
-            "dl",
-        )
+            F.col("doc_id"),
+            F.col("tf"),
+            F.col("dl"),
+        ]
+        if self.with_positions:
+            cols.append(F.col("positions"))
+        salted = tf.select(*cols)
         keys = ["shard", "field", "term_id", "salt"]
         arranged = salted.repartition(n_parts, *keys).sortWithinPartitions(
             *keys, "doc_id"
@@ -212,6 +239,7 @@ class IndexBuilder:
             to the next batch so memory stays bounded by group size,
             not partition size."""
             avg = b_avgdl.value
+            use_pos = with_pos
 
             def emit(chunk: pd.DataFrame) -> pd.DataFrame:
                 recs = {
@@ -226,8 +254,18 @@ class IndexBuilder:
                     tfn = bm25.tf_norm(
                         tfs, dls.astype(np.float64), avg[fl], k1, b_
                     )
+                    pos = (
+                        [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+                        if use_pos
+                        else None
+                    )
                     row = encode_postings(
-                        g["doc_id"].to_numpy(np.int64), tfs, tfn, bs, dls=dls
+                        g["doc_id"].to_numpy(np.int64),
+                        tfs,
+                        tfn,
+                        bs,
+                        dls=dls,
+                        positions=pos,
                     )
                     row["salt"] = int(sa)
                     recs["shard"].append(sh)
@@ -346,7 +384,9 @@ class IndexBuilder:
             # tokenize ONCE; both doc_stats and postings consume it.
             # MEMORY_AND_DISK: at cluster scale this spills instead of
             # re-running the (expensive) tokenizer pass.
-            tf = term_freqs_df(sub, self.fields).persist()
+            tf = term_freqs_df(
+                sub, self.fields, with_positions=self.with_positions
+            ).persist()
             # doc_stats + corpus stats from one aggregate each
             doc_stats = (
                 tf.groupBy("doc_id", "field", "shard")
@@ -425,6 +465,7 @@ class IndexBuilder:
             json.dump(
                 {
                     "fields": self.fields,
+                    "with_positions": self.with_positions,
                     "docs_per_shard": self.docs_per_shard,
                     "block_size": self.block_size,
                     "k1": self.k1,

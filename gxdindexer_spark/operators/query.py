@@ -264,6 +264,47 @@ class IndexQueryEngine:
             F.col("term_id").isin(tids) & F.col("field").isin(flds)
         )
 
+    def phrase_topk(
+        self, phrase: str, k: int = 10, field: str = "content"
+    ) -> DataFrame:
+        """Exact phrase (slop=0) top-k over a positional index —
+        Lucene PhraseQuery: tf = phrase frequency, idf = sum of the
+        constituent terms' idfs, field weight applied."""
+        if not self.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions "
+                "(IndexBuilder(with_positions=True))"
+            )
+        terms = analyze.phrase_tokens(phrase, self.fields[field])
+        if not terms:
+            return self.spark.createDataFrame([], _HITS_SCHEMA)
+        dfs = self._lookup_stats([(field, t) for t in terms])
+        if len(dfs) < len(set(terms)):
+            return self.spark.createDataFrame([], _HITS_SCHEMA)
+        idf_sum = self.weights[field] * float(
+            sum(bm25.idf(self.n_docs[field], df) for df in dfs.values())
+        )
+        tids = [self._tid(t) for t in terms]
+        postings = self.spark.read.parquet(
+            f"{self.index_dir}/postings"
+        ).filter(
+            F.col("term_id").isin(sorted(set(tids)))
+            & (F.col("field") == field)
+        )
+        avgdl = self.avgdl[field]
+        k1, b = float(self.manifest["k1"]), float(self.manifest["b"])
+
+        def shard_phrase(pg: pd.DataFrame) -> pd.DataFrame:
+            ids, scores = wand_mod.phrase_topk_shard(
+                pg, tids, field, idf_sum, avgdl, k, k1, b
+            )
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        local = postings.groupBy("shard").applyInPandas(
+            shard_phrase, schema=_HITS_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def count_matches(
         self, query: str, fields: list[str] | None = None
     ) -> DataFrame:

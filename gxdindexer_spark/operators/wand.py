@@ -150,6 +150,58 @@ def taat(
     return _topk_from_scores(uniq, scores, k)
 
 
+def phrase_topk_shard(
+    postings: pd.DataFrame,
+    ordered_tids: list[int],
+    field: str,
+    idf_sum: float,
+    avgdl: float,
+    k: int,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase (slop=0) scoring for one shard, Lucene PhraseQuery
+    semantics: tf = phrase frequency (adjacent position chains), idf =
+    sum of the constituent terms' idfs, weighted by the field weight
+    (folded into ``idf_sum``). Requires a positional index."""
+    by_tid: dict[int, tuple] = {}
+    for r in postings.itertuples():
+        if r.field != field:
+            continue
+        tid = int(r.term_id)
+        if tid in set(ordered_tids) and tid not in by_tid:
+            pl = posting_list_from_row(str(tid), r._asdict())
+            docs, _tfs, dls = pl.decode_all()
+            by_tid[tid] = (docs, dls, pl.decode_all_positions())
+    if any(t not in by_tid for t in ordered_tids):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    # candidate docs: intersection across all phrase terms
+    common = by_tid[ordered_tids[0]][0]
+    for t in ordered_tids[1:]:
+        common = np.intersect1d(common, by_tid[t][0], assume_unique=True)
+    out_docs, out_scores = [], []
+    d0, dl0, p0 = by_tid[ordered_tids[0]]
+    for doc in common:
+        # candidates anchored at the FIRST term's positions: keep x if
+        # term_i occurs at x+i for every following phrase slot
+        cand = p0[int(np.searchsorted(d0, doc))]
+        for i, t in enumerate(ordered_tids[1:], start=1):
+            docs_t, _dls_t, pos_t = by_tid[t]
+            j = int(np.searchsorted(docs_t, doc))
+            cand = cand[np.isin(cand + i, pos_t[j])]
+            if cand.size == 0:
+                break
+        pf = int(cand.size)
+        if pf:
+            dl = float(dl0[int(np.searchsorted(d0, doc))])
+            score = idf_sum * float(bm25.tf_norm(pf, dl, avgdl, k1, b))
+            out_docs.append(int(doc))
+            out_scores.append(score)
+    return _topk_from_scores(
+        np.asarray(out_docs, np.int64), np.asarray(out_scores, np.float64), k
+    )
+
+
 def match_docs(postings: pd.DataFrame, spec: QuerySpec) -> np.ndarray:
     """Distinct doc ids matching ANY scoring term (OR semantics), with
     boolean clauses applied — the facet/count primitive behind the

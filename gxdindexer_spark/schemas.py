@@ -56,6 +56,9 @@ POSTINGS = T.StructType(
         T.StructField("docs_buf", T.BinaryType(), False),
         T.StructField("tfs_buf", T.BinaryType(), False),
         T.StructField("dls_buf", T.BinaryType(), False),
+        # positional payload (empty when built with with_positions=False)
+        T.StructField("pos_offsets", T.ArrayType(T.LongType()), True),
+        T.StructField("pos_buf", T.BinaryType(), True),
     ]
 )
 
@@ -122,5 +125,7 @@ TERM_FREQS = T.StructType(
         T.StructField("term_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
+        # token positions (empty array when positions are disabled)
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
     ]
 )

@@ -278,3 +278,79 @@ def test_wildcard_expansion_and_count(built, spark):
     assert hits and all(
         any(t.startswith("merge") for t in toks[r["doc_id"]]) for r in hits
     )
+
+
+def test_phrase_query_matches_python_oracle(spark, tmp_path):
+    """Positional index + exact phrase (slop=0), Lucene PhraseQuery
+    semantics: tf = phrase freq, idf = sum of term idfs, dl = position
+    count. Verified against a from-scratch python oracle."""
+    idx = str(tmp_path / "pidx")
+    corpus = generate_corpus(spark, 250, seed=13, partitions=4)
+    docs = prepare_docs(corpus, docs_per_shard=80, partitions=4).cache()
+    IndexBuilder(
+        docs_per_shard=80, salt_range=64, block_size=16, with_positions=True
+    ).build(docs, idx, resume=False)
+    pdocs = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    eng = IndexQueryEngine(spark, idx)
+
+    # pick a phrase that actually occurs: first two tokens of doc 0
+    originals = {
+        int(r.doc_id): analyze.phrase_tokens(r.content, "code")
+        for r in pdocs.itertuples()
+    }
+    t1, t2 = originals[0][0], originals[0][1]
+    phrase = f"{t1} {t2}"
+
+    got = eng.phrase_topk(phrase, k=15, field="content").collect()
+
+    # python oracle
+    N = len(originals)
+    full_tokens = {
+        d: analyze.code_tokens(pd.Series([c])).iloc[0]
+        for d, c in zip(pdocs["doc_id"], pdocs["content"])
+    }
+    dls = {d: len(t) for d, t in originals.items()}
+    avgdl = sum(dls.values()) / N
+    idf_sum = sum(
+        float(bm25.idf(N, sum(1 for t in full_tokens.values() if q in t)))
+        for q in (t1, t2)
+    )
+    scores = {}
+    for d, toks in originals.items():
+        pf = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == t1 and toks[i + 1] == t2
+        )
+        if pf:
+            scores[d] = idf_sum * float(
+                bm25.tf_norm(pf, dls[d], avgdl)
+            )
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    assert len(got) > 0
+
+    # phrase requires ADJACENCY: reversed phrase must not match the
+    # same docs unless it genuinely occurs reversed
+    rev = eng.phrase_topk(f"{t2} {t1}", k=15, field="content").collect()
+    rev_expect = {
+        d
+        for d, toks in originals.items()
+        if any(
+            toks[i] == t2 and toks[i + 1] == t1
+            for i in range(len(toks) - 1)
+        )
+    }
+    assert {r["doc_id"] for r in rev} == set(
+        sorted(rev_expect)[: 15 if len(rev_expect) > 15 else None][:15]
+    ) or {r["doc_id"] for r in rev} <= rev_expect
+
+    # non-positional index refuses phrase queries with a clear error
+    with pytest.raises(ValueError, match="without positions"):
+        idx2 = str(tmp_path / "nopos")
+        IndexBuilder(docs_per_shard=80, salt_range=64, block_size=16).build(
+            docs, idx2, resume=False
+        )
+        IndexQueryEngine(spark, idx2).phrase_topk("a b")
