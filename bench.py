@@ -104,6 +104,22 @@ def main() -> int:
     t0 = time.monotonic()
     eng.count_matches("st* join").collect()
     timings["match_count_wildcard"] = round(time.monotonic() - t0, 3)
+    # positional build + exact phrase query
+    pidx = idx_dir + "_pos"
+    shutil.rmtree(pidx, ignore_errors=True)
+    t0 = time.monotonic()
+    IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+        with_positions=True,
+    ).build(entrymod._docs_for_index(spark, SF_DIR), pidx, resume=False)
+    timings["index_build_positional"] = round(time.monotonic() - t0, 3)
+    peng = IndexQueryEngine(spark, pidx)
+    t0 = time.monotonic()
+    peng.phrase_topk("table part", k=15).collect()
+    timings["bm25_phrase"] = round(time.monotonic() - t0, 3)
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:
