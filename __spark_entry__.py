@@ -488,6 +488,16 @@ def ann_lsh_topk_q(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, qvec, k=10, n_planes=6, probes=3)
 
 
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF-bucketed ANN (engine-internal centroids -> rows-only)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.ivf_topk(e, qvec, k=10, n_centroids=8, nprobe=3)
+
+
 def embedding_neardup_exact_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     a = e.select(
@@ -576,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs_q,
         "ann_cosine_topk": ann_cosine_topk_q,
         "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
         "embedding_neardup_exact": embedding_neardup_exact_q,
         "embedding_neardup_lsh": embedding_neardup_lsh_q,
         "multimodal_features": multimodal_features_q,

@@ -109,6 +109,102 @@ def lsh_bucket_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (cosine) via one numpy matmul per Arrow batch —
+    -> (vec_id, embedding, ivf_bucket). At 100 TB the output is written
+    partitioned by ivf_bucket so queries scan only probed buckets."""
+    import numpy as np
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("ivf_bucket", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            bucket = np.argmax(Vn @ Cn.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": pdf[vec_col],
+                    "ivf_bucket": bucket,
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(run, schema=out_schema)
+
+
+def sample_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: an evenly-strided id sample
+    (IVF-flat demo; swap for k-means at scale — assignment is the same)."""
+    n = emb.count()
+    stride = max(n // n_centroids, 1)
+    rows = (
+        emb.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: exact cosine only inside the query's ``nprobe`` nearest
+    centroid buckets (~nprobe/n_centroids of the corpus scanned)."""
+    import numpy as np
+
+    centroids = centroids or sample_centroids(emb, n_centroids, id_col, vec_col)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(Cn @ qn))[:nprobe].tolist()
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_bucket").isin([int(p) for p in probes]))
+    return cosine_topk(cand, query_vec, k, "vec_id", vec_col)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

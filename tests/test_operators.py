@@ -322,3 +322,28 @@ def test_postings_scan_pushes_term_id(spark, tmp_path):
     pf = explain.pushed_filters(scan)
     assert any("term_id" in f for f in pf)
     assert any("field" in f for f in pf)
+
+
+def test_ivf_topk_finds_self_and_overlaps_exact(spark):
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    q = rows[42][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=8, nprobe=3
+        ).collect()
+    ]
+    assert exact[0] == 42
+    assert 42 in approx  # self lands in a probed bucket
+    assert set(approx) & set(exact)
+    # full probe == exact (nprobe = n_centroids scans everything)
+    allp = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert allp == exact
