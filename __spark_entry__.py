@@ -46,8 +46,15 @@ def _docs_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_dir_for(sf_dir: str) -> str:
+    """Cache dir versioned by the postings schema: a schema change must
+    invalidate cached entry indexes, not poison their resume path."""
+    import hashlib
+
+    from gxdindexer_spark import schemas
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/gxdidx_entry_{tag}"
+    ver = hashlib.md5(str(schemas.POSTINGS).encode()).hexdigest()[:8]
+    return f"/tmp/gxdidx_entry_{tag}_{ver}"
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
