@@ -565,3 +565,48 @@ class IndexBuilder:
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
         os.replace(tmp, path)  # atomic commit of the lineage record
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Segment compaction — the reference's end-of-build Solr `optimize`
+    (Indexer.java:126-129) / Iceberg `rewrite_data_files` analog:
+    rewrite each artifact coalesced to one file per shard partition so
+    query-time scans open O(shards) files instead of O(shards x tasks).
+    Content is unchanged (queries return identical results); the swap
+    is directory-atomic per artifact.
+    """
+    stats: dict = {}
+    for art in ("postings", "doc_stats", "dict_parts", "docs"):
+        src = f"{index_dir}/{art}"
+        if not os.path.isdir(src):
+            continue
+        before = sum(
+            1
+            for root, _d, files in os.walk(src)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        tmp = f"{index_dir}/.{art}_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(src)
+            .repartition("shard")
+            .sortWithinPartitions("shard")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 0)
+            .partitionBy("shard")
+            .parquet(tmp)
+        )
+        old = f"{index_dir}/.{art}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+        after = sum(
+            1
+            for root, _d, files in os.walk(src)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        stats[art] = {"files_before": before, "files_after": after}
+    return stats

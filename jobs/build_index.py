@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="e.g. local[8]")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--with-positions", action="store_true",
+                   help="store token positions (enables phrase queries)")
+    p.add_argument("--compact", action="store_true",
+                   help="compact segments after build (the reference's "
+                        "end-of-build optimize, Indexer.java:126-129)")
     p.add_argument("--query", action="append", default=[],
                    help="query string; repeatable")
     p.add_argument("--topk", type=int, default=10)
@@ -65,8 +70,13 @@ def main(argv: list[str] | None = None) -> int:
             docs_per_shard=args.docs_per_shard,
             salt_range=args.salt_range,
             block_size=args.block_size,
+            with_positions=args.with_positions,
         )
         metrics = builder.build(docs, args.index_dir, resume=not args.no_resume)
+        if args.compact:
+            from gxdindexer_spark.operators.index_build import compact_index
+
+            metrics["compaction"] = compact_index(spark, args.index_dir)
         print(json.dumps({"build": metrics}))
         if args.query:
             eng = IndexQueryEngine(spark, args.index_dir)

@@ -354,3 +354,22 @@ def test_phrase_query_matches_python_oracle(spark, tmp_path):
             docs, idx2, resume=False
         )
         IndexQueryEngine(spark, idx2).phrase_topk("a b")
+
+
+def test_compact_index_preserves_results(built, spark, tmpdir_idx):
+    """S7 `optimize` analog: compaction shrinks file count, query
+    results stay byte-identical."""
+    from gxdindexer_spark.operators.index_build import compact_index
+
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    builder.build(docs, tmpdir_idx, resume=False)
+    q = "getIndexList if return"
+    before = IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
+    stats = compact_index(spark, tmpdir_idx)
+    assert stats["postings"]["files_after"] <= stats["postings"]["files_before"]
+    after = IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
+    assert before == after
+    # resume still recognizes the shards as done after compaction
+    m = builder.build(docs, tmpdir_idx, resume=True)
+    assert m["shards_built"] == 0
