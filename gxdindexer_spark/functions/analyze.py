@@ -87,18 +87,38 @@ TOKENIZERS = {
 }
 
 
+def original_token_counts(text: pd.Series, tokenizer: str) -> pd.Series:
+    """Series[str] -> Series[int]: number of ORIGINAL token positions.
+
+    This is the BM25 ``dl`` for every build mode: word-part expansions
+    share their original's position (Lucene discountOverlaps) and must
+    not lengthen the doc, so positional and non-positional indexes of
+    the same corpus rank identically.
+    """
+    if tokenizer == "simple":
+        return simple_tokens(text).map(len).astype(np.int64)
+    if tokenizer == "lang":
+        return lang_tokens(text).map(len).astype(np.int64)
+    src = text.fillna("")
+    if tokenizer == "path":
+        src = src.str.replace(PATH_SEP_RE, " ", regex=True)
+    return src.str.count(RAW_TOKEN_RE).astype(np.int64)
+
+
 def term_freqs(
     doc_ids: pd.Series, texts: pd.Series, tokenizer: str = "code"
 ) -> pd.DataFrame:
     """Batch (doc_id, text) -> DataFrame(doc_id, term, tf, dl).
 
     ``dl`` (doc length in tokens) is replicated per term row so the
-    posting build can compute tf-norms without a second join.
+    posting build can compute tf-norms without a second join. ``dl``
+    counts ORIGINAL token positions (see ``original_token_counts``) so
+    expanding tokenizers score identically with and without positions.
     Vectorized: explode + groupby, no per-row loops outside the
     regex scan itself.
     """
     toks = TOKENIZERS[tokenizer](texts)
-    dl = toks.map(len).astype(np.int64)
+    dl = original_token_counts(texts, tokenizer)
     frame = pd.DataFrame(
         {"doc_id": doc_ids.to_numpy(), "term": toks, "dl": dl.to_numpy()}
     )

@@ -72,15 +72,21 @@ def brute_force_topk(
     k: int,
     k1: float = K1,
     b: float = B,
+    dls: dict[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Oracle: exhaustive BM25 over an in-memory corpus (SURVEY.md §5.2
     'at small scale brute force IS the spec'). Pure python+numpy,
     independent of the Spark engine; used by golden rank-identity tests.
+
+    ``dls`` overrides per-doc lengths — expanding tokenizers count
+    ORIGINAL token positions as dl (Lucene discountOverlaps), which is
+    fewer than ``len(tokens)`` when word-part expansions are present.
     """
     N = len(docs_tokens)
     if N == 0:
         return []
-    dls = {d: len(t) for d, t in docs_tokens.items()}
+    if dls is None:
+        dls = {d: len(t) for d, t in docs_tokens.items()}
     avgdl = sum(dls.values()) / N
     uniq = list(dict.fromkeys(query_terms))  # dedup, keep order
     dfs = {

@@ -58,6 +58,10 @@ def term_freqs_df(
     original's position and don't lengthen the doc)."""
     fields = fields or DEFAULT_FIELDS
 
+    out_cols = ["doc_id", "shard", "field", "term", "term_id", "tf", "dl"]
+    if with_positions:
+        out_cols.append("positions")
+
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -72,21 +76,16 @@ def term_freqs_df(
                     tf = analyze.term_freqs(
                         pdf["doc_id"], pdf[field], tokenizer
                     )
-                    tf["positions"] = [[] for _ in range(len(tf))]
                 if not len(tf):
                     continue
                 tf.insert(1, "shard", shard_of.loc[tf["doc_id"]].to_numpy())
                 tf.insert(2, "field", field)
                 tf["term_id"] = hashing.term_ids(tf["term"])
-                yield tf[
-                    [
-                        "doc_id", "shard", "field", "term", "term_id",
-                        "tf", "dl", "positions",
-                    ]
-                ]
+                yield tf[out_cols]
 
+    schema = schemas.TERM_FREQS if with_positions else schemas.TERM_FREQS_BASE
     cols = ["doc_id", "shard"] + list(fields)
-    return docs.select(*cols).mapInPandas(tok, schema=schemas.TERM_FREQS)
+    return docs.select(*cols).mapInPandas(tok, schema=schema)
 
 
 _PARTIAL_SCHEMA = T.StructType(
@@ -202,6 +201,28 @@ class IndexBuilder:
         self.k1 = k1
         self.b = b
         self.with_positions = with_positions
+
+    def _params_fp(self) -> str:
+        """Fingerprint of every parameter that shapes the stored
+        artifacts. Folded into each shard's input fingerprint so a
+        resume with different params (k1/b/block_size/tokenizers/
+        positions/...) rebuilds instead of silently mixing postings
+        built under one config with a manifest describing another."""
+        import hashlib
+
+        blob = json.dumps(
+            {
+                "fields": self.fields,
+                "docs_per_shard": self.docs_per_shard,
+                "salt_range": self.salt_range,
+                "block_size": self.block_size,
+                "k1": self.k1,
+                "b": self.b,
+                "with_positions": self.with_positions,
+            },
+            sort_keys=True,
+        )
+        return hashlib.md5(blob.encode()).hexdigest()[:12]
 
     # ------------------------------------------------------------ build
 
@@ -336,10 +357,15 @@ class IndexBuilder:
                 )
                 _last[0] = now
 
-        os.makedirs(f"{index_dir}/ledger", exist_ok=True)
+        os.makedirs(index_dir, exist_ok=True)
+        _recover_compaction(index_dir)
 
         # input fingerprint per shard: order-insensitive xor/sum over
-        # content hashes — cheap, deterministic, partition-parallel.
+        # content hashes — cheap, deterministic, partition-parallel —
+        # plus the builder-params fingerprint (a param change must
+        # invalidate every shard, not silently reuse postings built
+        # under a different config).
+        pfp = self._params_fp()
         fp = (
             docs.groupBy("shard")
             .agg(
@@ -349,10 +375,20 @@ class IndexBuilder:
             .collect()
         )
         shard_fp = {
-            int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}" for r in fp
+            int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}:{pfp}" for r in fp
         }
         mark("fingerprint")
         done = self._read_ledger(index_dir)
+        # orphaned shards: present in artifacts/ledger but absent from
+        # the input (shrunk or re-sharded corpus). Left in place they
+        # would keep feeding dictionary df / avgdl / query results.
+        orphans = (set(done) | _artifact_shards(index_dir)) - set(shard_fp)
+        for s in sorted(orphans):
+            for art in ("docs", "doc_stats", "dict_parts", "postings"):
+                shutil.rmtree(
+                    f"{index_dir}/{art}/shard={s}", ignore_errors=True
+                )
+            done.pop(s, None)
         pending = sorted(
             s
             for s, f in shard_fp.items()
@@ -430,27 +466,29 @@ class IndexBuilder:
         mark("finalize")
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        # ledger entries (per shard, atomic rename)
+        # consolidated ledger: one file, one atomic replace, O(1) reads
+        # at engine init (vs O(shards) file opens at the 10^6-shard
+        # target). Skipped shards keep their prior entries; orphans
+        # were dropped above.
         built = self._shard_metrics(spark, index_dir, pending)
         mark("shard_metrics")
+        entries = {s: e for s, e in done.items() if s in shard_fp}
         for s in pending:
             m = built.get(s, {"n_docs": 0, "n_postings": 0, "bytes": 0})
-            self._write_ledger_entry(
-                index_dir,
-                {
-                    "shard": s,
-                    "input_fingerprint": shard_fp[s],
-                    "status": "done",
-                    "n_docs": m["n_docs"],
-                    "n_postings": m["n_postings"],
-                    "bytes_compressed": m["bytes"],
-                    "wall_ms": wall_ms,
-                    # avgdl in force when this shard's block-max metadata
-                    # was computed; the WAND path disables block pruning
-                    # (falls back to exact TAAT) if global avgdl drifted.
-                    "avgdl_at_build": avgdl,
-                },
-            )
+            entries[s] = {
+                "shard": s,
+                "input_fingerprint": shard_fp[s],
+                "status": "done",
+                "n_docs": m["n_docs"],
+                "n_postings": m["n_postings"],
+                "bytes_compressed": m["bytes"],
+                "wall_ms": wall_ms,
+                # avgdl in force when this shard's block-max metadata
+                # was computed; the WAND path disables block pruning
+                # (falls back to exact TAAT) if global avgdl drifted.
+                "avgdl_at_build": avgdl,
+            }
+        self._write_ledger(index_dir, entries)
         total_docs = sum(v["n_docs"] for v in built.values())
         total_postings = sum(v["n_postings"] for v in built.values())
         metrics.update(
@@ -547,24 +585,77 @@ class IndexBuilder:
 
     @staticmethod
     def _read_ledger(index_dir: str) -> dict[int, dict]:
-        out: dict[int, dict] = {}
-        ldir = f"{index_dir}/ledger"
-        if not os.path.isdir(ldir):
-            return out
-        for fn in os.listdir(ldir):
-            if fn.endswith(".json"):
-                with open(f"{ldir}/{fn}") as fh:
-                    e = json.load(fh)
-                out[int(e["shard"])] = e
-        return out
+        return read_ledger(index_dir)
 
     @staticmethod
-    def _write_ledger_entry(index_dir: str, entry: dict) -> None:
-        path = f"{index_dir}/ledger/shard={entry['shard']}.json"
+    def _write_ledger(index_dir: str, entries: dict[int, dict]) -> None:
+        path = f"{index_dir}/ledger.json"
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(entry, fh)
+            json.dump({str(s): e for s, e in entries.items()}, fh)
         os.replace(tmp, path)  # atomic commit of the lineage record
+
+
+def read_ledger(index_dir: str) -> dict[int, dict]:
+    """Consolidated ledger (single json) with fallback to the legacy
+    per-shard ledger/ directory from pre-consolidation builds."""
+    path = f"{index_dir}/ledger.json"
+    if os.path.isfile(path):
+        with open(path) as fh:
+            return {int(s): e for s, e in json.load(fh).items()}
+    out: dict[int, dict] = {}
+    ldir = f"{index_dir}/ledger"
+    if not os.path.isdir(ldir):
+        return out
+    for fn in os.listdir(ldir):
+        if fn.endswith(".json"):
+            with open(f"{ldir}/{fn}") as fh:
+                e = json.load(fh)
+            out[int(e["shard"])] = e
+    return out
+
+
+def _artifact_shards(index_dir: str) -> set[int]:
+    """Shard ids present in any artifact's partition directories."""
+    out: set[int] = set()
+    for art in ("docs", "doc_stats", "dict_parts", "postings"):
+        d = f"{index_dir}/{art}"
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            if name.startswith("shard="):
+                try:
+                    out.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return out
+
+
+def _recover_compaction(index_dir: str) -> None:
+    """Finish or roll back a compaction swap interrupted mid-rename.
+
+    The swap window (src renamed away, replacement not yet in place)
+    is bracketed by a marker file; on open we replay: prefer the fully
+    written tmp (the marker is only written after tmp commits), else
+    restore the old directory.
+    """
+    if not os.path.isdir(index_dir):
+        return
+    for name in os.listdir(index_dir):
+        if not (name.startswith(".") and name.endswith("_swap.marker")):
+            continue
+        art = name[1 : -len("_swap.marker")]
+        src = f"{index_dir}/{art}"
+        tmp = f"{index_dir}/.{art}_compact_tmp"
+        old = f"{index_dir}/.{art}_old"
+        if not os.path.isdir(src):
+            if os.path.isdir(tmp):
+                os.rename(tmp, src)
+            elif os.path.isdir(old):
+                os.rename(old, src)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(f"{index_dir}/{name}")
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
@@ -572,9 +663,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     (Indexer.java:126-129) / Iceberg `rewrite_data_files` analog:
     rewrite each artifact coalesced to one file per shard partition so
     query-time scans open O(shards) files instead of O(shards x tasks).
-    Content is unchanged (queries return identical results); the swap
-    is directory-atomic per artifact.
+    Content is unchanged (queries return identical results). The swap
+    window is bracketed by a marker file and replayed by
+    ``_recover_compaction`` on the next open, so a crash mid-swap
+    never strands the index without an artifact.
     """
+    _recover_compaction(index_dir)
     stats: dict = {}
     for art in ("postings", "doc_stats", "dict_parts", "docs"):
         src = f"{index_dir}/{art}"
@@ -599,8 +693,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         )
         old = f"{index_dir}/.{art}_old"
         shutil.rmtree(old, ignore_errors=True)
+        marker = f"{index_dir}/.{art}_swap.marker"
+        with open(marker, "w") as fh:
+            json.dump({"artifact": art}, fh)
         os.rename(src, old)
         os.rename(tmp, src)
+        os.remove(marker)
         shutil.rmtree(old, ignore_errors=True)
         after = sum(
             1

@@ -22,7 +22,6 @@ as a broadcast QuerySpec.
 from __future__ import annotations
 
 import json
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +53,11 @@ class IndexQueryEngine:
         pruned parquet scan per query. Set 0 to disable."""
         self.spark = spark
         self.index_dir = index_dir
+        # replay any compaction swap interrupted mid-rename (cheap:
+        # one directory listing) before touching artifacts
+        from gxdindexer_spark.operators import index_build as _ib
+
+        _ib._recover_compaction(index_dir)
         with open(f"{index_dir}/manifest.json") as fh:
             self.manifest = json.load(fh)
         self.fields: dict[str, str] = self.manifest["fields"]
@@ -81,14 +85,10 @@ class IndexQueryEngine:
         self.blockmax_safe = self._check_blockmax_safe()
 
     def _check_blockmax_safe(self) -> bool:
-        ldir = os.path.join(self.index_dir, "ledger")
-        if not os.path.isdir(ldir):
-            return True
-        for fn in os.listdir(ldir):
-            if not fn.endswith(".json"):
-                continue
-            with open(os.path.join(ldir, fn)) as fh:
-                entry = json.load(fh)
+        # one consolidated-ledger read (O(1) driver I/O, not O(shards))
+        from gxdindexer_spark.operators.index_build import read_ledger
+
+        for entry in read_ledger(self.index_dir).values():
             at_build = entry.get("avgdl_at_build") or {}
             for f, v in at_build.items():
                 if abs(self.avgdl.get(f, v) - v) > 1e-9:
@@ -118,6 +118,11 @@ class IndexQueryEngine:
             is_prefix = raw.endswith("*")
             if is_prefix:
                 raw = raw[:-1]
+                if not raw:
+                    # a bare '*' would expand to the whole dictionary
+                    raise ValueError(
+                        "empty wildcard prefix ('*') is not allowed"
+                    )
             if raw:
                 out.append((raw, kind, is_prefix))
         return out
@@ -131,31 +136,47 @@ class IndexQueryEngine:
                 pairs.append((f, t))
         return pairs
 
+    #: Lucene BooleanQuery.maxClauseCount analog — a 1-char prefix on a
+    #: 10^9-term vocabulary must not build a million-clause plan.
+    MAX_EXPANSIONS = 1024
+
     def expand_prefix(
-        self, field: str, prefix: str, max_expansions: int | None = None
+        self, field: str, prefix: str, max_expansions: int | None = MAX_EXPANSIONS
     ) -> list[str]:
         """Dictionary prefix scan -> matching terms (wildcard rewrite;
         Lucene's MultiTermQuery expansion, scored as full BM25 like the
-        scoring-boolean rewrite). Driver cache when preloaded, else a
-        pushed-down LIKE scan."""
+        scoring-boolean rewrite).
+
+        Bounded: when more than ``max_expansions`` terms match, the
+        highest-df terms survive (Lucene's top-terms rewrite), term-asc
+        tiebreak. The uncached path is a *pushed-down range predicate*
+        (term >= prefix AND term < prefix+MAXCHAR reaches the parquet
+        scan) followed by a distributed top-k — never a full-dictionary
+        collect to the driver."""
+        if not prefix:
+            raise ValueError("empty wildcard prefix ('*') is not allowed")
         if self._dict_cache is not None:
-            terms = sorted(
-                t
-                for (f, t) in self._dict_cache
-                if f == field and t.startswith(prefix)
+            cands = sorted(
+                ((df, t) for (f, t), df in self._dict_cache.items()
+                 if f == field and t.startswith(prefix)),
+                key=lambda p: (-p[0], p[1]),
             )
-        else:
-            rows = (
-                self.spark.read.parquet(f"{self.index_dir}/dictionary")
-                .filter(
-                    (F.col("field") == field)
-                    & F.col("term").startswith(prefix)
-                )
-                .select("term")
-                .collect()
+            if max_expansions:
+                cands = cands[:max_expansions]
+            return sorted(t for _df, t in cands)
+        hi = prefix + chr(0x10FFFF)
+        d = (
+            self.spark.read.parquet(f"{self.index_dir}/dictionary")
+            .filter(
+                (F.col("field") == field)
+                & (F.col("term") >= prefix)
+                & (F.col("term") < hi)
             )
-            terms = sorted(r["term"] for r in rows)
-        return terms[:max_expansions] if max_expansions else terms
+            .select("term", "df")
+        )
+        if max_expansions:
+            d = d.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
+        return sorted(r["term"] for r in d.select("term").collect())
 
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf

@@ -116,7 +116,9 @@ HITS = T.StructType(
 # Intermediate: per-(doc, field, term) frequencies out of the tokenizer.
 # Carries BOTH the string (consumed once by the small dictionary agg)
 # and term_id (the only key the posting shuffles touch).
-TERM_FREQS = T.StructType(
+# TERM_FREQS_BASE is the non-positional build's variant — no dead
+# positions column rides the Arrow boundary on the hottest path.
+TERM_FREQS_BASE = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("shard", T.IntegerType(), False),
@@ -125,7 +127,13 @@ TERM_FREQS = T.StructType(
         T.StructField("term_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
-        # token positions (empty array when positions are disabled)
+    ]
+)
+
+TERM_FREQS = T.StructType(
+    list(TERM_FREQS_BASE.fields)
+    + [
+        # token positions (positional builds only)
         T.StructField("positions", T.ArrayType(T.IntegerType()), True),
     ]
 )

@@ -54,8 +54,16 @@ def _oracle_topk(pdocs: pd.DataFrame, query: str, k: int):
             for d, t in zip(pdocs["doc_id"], toks_series)
             if len(t)
         }
+        dl_series = analyze.original_token_counts(pdocs[field], tokenizer)
+        dls = {
+            int(d): int(n)
+            for d, n in zip(pdocs["doc_id"], dl_series)
+            if d in docs_tokens
+        }
         q = analyze.tokenize_query(query, tokenizer)
-        for doc, s in bm25.brute_force_topk(docs_tokens, q, k=len(pdocs)):
+        for doc, s in bm25.brute_force_topk(
+            docs_tokens, q, k=len(pdocs), dls=dls
+        ):
             total[doc] = total.get(doc, 0.0) + weights[field] * s
     ranked = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
@@ -120,10 +128,11 @@ def test_dictionary_invariants(built, spark):
     assert list(got.index) == list(expect.index)
     assert (got["df"].to_numpy() == expect["df"].to_numpy()).all()
     assert (got["cf"].to_numpy() == expect["cf"].to_numpy()).all()
-    # doc_stats: sum of dl == total tokens
+    # doc_stats: sum of dl == total ORIGINAL token positions (word-part
+    # expansions share positions and don't lengthen the doc)
     ds = spark.read.parquet(f"{idx}/doc_stats").filter(F.col("field") == "content")
     assert ds.agg(F.sum("dl")).first()[0] == int(
-        analyze.code_tokens(pdocs["content"]).map(len).sum()
+        analyze.original_token_counts(pdocs["content"], "code").sum()
     )
 
 
@@ -151,7 +160,16 @@ def test_content_only_equals_unweighted_lucene(built, spark):
         int(d): t
         for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
     }
-    expect = bm25.brute_force_topk(toks, analyze.tokenize_query(q, "code"), 10)
+    dls = {
+        int(d): int(n)
+        for d, n in zip(
+            pdocs["doc_id"],
+            analyze.original_token_counts(pdocs["content"], "code"),
+        )
+    }
+    expect = bm25.brute_force_topk(
+        toks, analyze.tokenize_query(q, "code"), 10, dls=dls
+    )
     assert [(r["doc_id"], pytest.approx(r["score"], rel=1e-9)) for r in got] == [
         (d, s) for d, s in expect
     ]
@@ -373,3 +391,128 @@ def test_compact_index_preserves_results(built, spark, tmpdir_idx):
     # resume still recognizes the shards as done after compaction
     m = builder.build(docs, tmpdir_idx, resume=True)
     assert m["shards_built"] == 0
+
+
+def test_resume_rebuilds_on_param_change(built, spark, tmpdir_idx):
+    """Build params are folded into the shard fingerprint: a resume
+    with different scoring/layout params must rebuild every shard, not
+    silently reuse postings built under the old config."""
+    _idx, docs, _pdocs, _m = built
+    b1 = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    m1 = b1.build(docs, tmpdir_idx, resume=True)
+    assert m1["shards_built"] > 0
+    # same params -> no-op
+    assert b1.build(docs, tmpdir_idx, resume=True)["shards_built"] == 0
+    # different k1 -> full rebuild (block-max metadata depends on it)
+    b2 = IndexBuilder(
+        docs_per_shard=100, salt_range=64, block_size=16, k1=0.9
+    )
+    m2 = b2.build(docs, tmpdir_idx, resume=True)
+    assert m2["shards_built"] == m1["shards_built"]
+    eng = IndexQueryEngine(spark, tmpdir_idx)
+    assert eng.manifest["k1"] == 0.9
+    assert eng.topk("if return", k=5).count() > 0
+
+
+def test_orphan_shards_removed_on_shrunk_corpus(built, spark, tmpdir_idx):
+    """A rebuild over a shrunk corpus must delete shards absent from
+    the new input — stale docs must stop matching and global stats
+    must reflect only the surviving shards."""
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    builder.build(docs, tmpdir_idx, resume=True)
+    sub = docs.filter(F.col("shard") < 2)
+    m = builder.build(sub, tmpdir_idx, resume=True)
+    assert m["shards_total"] == 2
+    # artifacts for shards >= 2 are gone
+    assert not os.path.isdir(f"{tmpdir_idx}/postings/shard=2")
+    assert not os.path.isdir(f"{tmpdir_idx}/docs/shard=3")
+    # global stats equal a fresh build of the subset
+    import shutil as _sh
+    import tempfile as _tmp
+
+    ref = _tmp.mkdtemp(prefix="gxdidx_ref_")
+    try:
+        builder.build(sub, ref, resume=False)
+        a = (
+            spark.read.parquet(f"{tmpdir_idx}/dictionary")
+            .orderBy("field", "term")
+            .toPandas()
+        )
+        b = (
+            spark.read.parquet(f"{ref}/dictionary")
+            .orderBy("field", "term")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+        q = "getIndexList if return"
+        assert (
+            IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
+            == IndexQueryEngine(spark, ref).topk(q, 10).collect()
+        )
+    finally:
+        _sh.rmtree(ref, ignore_errors=True)
+
+
+def test_compaction_crash_recovery(built, spark, tmpdir_idx):
+    """A crash inside the compaction swap window (src renamed away,
+    replacement not yet in place) is replayed on the next open."""
+    import json as _json
+
+    from gxdindexer_spark.operators.index_build import _recover_compaction
+
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    builder.build(docs, tmpdir_idx, resume=False)
+    q = "getIndexList if return"
+    before = IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
+
+    # simulate: crash right after `rename(src, old)` — marker present,
+    # src missing, old holds the only copy
+    os.rename(f"{tmpdir_idx}/postings", f"{tmpdir_idx}/.postings_old")
+    with open(f"{tmpdir_idx}/.postings_swap.marker", "w") as fh:
+        _json.dump({"artifact": "postings"}, fh)
+    _recover_compaction(tmpdir_idx)
+    assert os.path.isdir(f"{tmpdir_idx}/postings")
+    assert not os.path.exists(f"{tmpdir_idx}/.postings_swap.marker")
+    assert IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect() == before
+
+    # simulate: crash after tmp fully written, src renamed away — the
+    # NEW data (tmp) must win
+    os.rename(f"{tmpdir_idx}/doc_stats", f"{tmpdir_idx}/.doc_stats_compact_tmp")
+    with open(f"{tmpdir_idx}/.doc_stats_swap.marker", "w") as fh:
+        _json.dump({"artifact": "doc_stats"}, fh)
+    # engine init itself must recover (ADVICE: recovery logic on open)
+    eng = IndexQueryEngine(spark, tmpdir_idx)
+    assert os.path.isdir(f"{tmpdir_idx}/doc_stats")
+    assert eng.topk(q, 10).collect() == before
+
+
+def test_wildcard_expansion_is_bounded(built, spark):
+    """Adversarial 1-char prefix: expansion is capped (Lucene
+    maxBooleanClauses analog), highest-df terms survive, and a bare
+    '*' is rejected outright."""
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    full = eng.expand_prefix("content", "s", max_expansions=None)
+    capped = eng.expand_prefix("content", "s", max_expansions=5)
+    assert len(capped) == min(5, len(full))
+    assert set(capped) <= set(full)
+    # the survivors are the df-heaviest
+    dfs = {
+        t: df
+        for (f, t), df in eng._dict_cache.items()
+        if f == "content" and t.startswith("s")
+    }
+    expect = sorted(sorted(dfs, key=lambda t: (-dfs[t], t))[:5])
+    assert capped == expect
+    # uncached path (pushed range predicate + distributed top-k) agrees
+    eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+    assert eng2.expand_prefix("content", "s", max_expansions=5) == capped
+    assert eng2.expand_prefix("content", "s", max_expansions=None) == full
+    # default cap is in force
+    assert len(eng.expand_prefix("content", "s")) <= eng.MAX_EXPANSIONS
+    with pytest.raises(ValueError, match="empty wildcard"):
+        eng.expand_prefix("content", "")
+    with pytest.raises(ValueError, match="empty wildcard"):
+        eng.parse_query("foo *")
