@@ -486,23 +486,48 @@ def ann_cosine_topk_q(spark, sf_dir):
     return similarity.cosine_topk(e, qvec, k=15)
 
 
-def ann_lsh_topk_q(spark, sf_dir):
+ANN_PLANES_N = 6
+ANN_CENTROIDS_N = 8
+EMB_DIM = 64
+
+
+def _ensure_ann(spark, sf_dir):
+    """Materialized ANN index for the sf_dir's embeddings table,
+    cached in /tmp (resume via input fingerprint in meta.json)."""
+    from gxdindexer_spark.operators import ann
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/gxdann_{tag}_p{ANN_PLANES_N}c{ANN_CENTROIDS_N}"
+    ann.build_ann_index(
+        _t(spark, sf_dir, "embeddings"),
+        d,
+        n_planes=ANN_PLANES_N,
+        n_centroids=ANN_CENTROIDS_N,
+        resume=True,
+    )
+    return ann.AnnIndex(spark, d)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [
+    return [
         float(v)
         for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return similarity.lsh_bucket_topk(e, qvec, k=10, n_planes=6, probes=3)
+
+
+def ann_lsh_topk_q(spark, sf_dir):
+    """ANN over the PERSISTED LSH index: partition-pruned scan of the
+    probed buckets only (operators/ann.py)."""
+    idx = _ensure_ann(spark, sf_dir)
+    return idx.lsh_topk(_query_vec(spark, sf_dir), k=10, probes=3)
 
 
 def ann_ivf_topk_q(spark, sf_dir):
-    """IVF-bucketed ANN (engine-internal centroids -> rows-only)."""
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(v)
-        for v in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    return similarity.ivf_topk(e, qvec, k=10, n_centroids=8, nprobe=3)
+    """ANN over the PERSISTED IVF index: partition-pruned scan of the
+    nprobe nearest coarse cells."""
+    idx = _ensure_ann(spark, sf_dir)
+    return idx.ivf_topk(_query_vec(spark, sf_dir), k=10, nprobe=3)
 
 
 def embedding_neardup_exact_q(spark, sf_dir):
@@ -524,10 +549,11 @@ def embedding_neardup_exact_q(spark, sf_dir):
 
 
 def embedding_neardup_lsh_q(spark, sf_dir):
-    """LSH-blocked near-dup pairs (scale path; engine-internal
-    hyperplanes -> rows-only check)."""
-    e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.3, n_planes=6)
+    """Near-dup pairs blocked by the PERSISTED LSH buckets: the
+    self-join key is the partition column (co-partitioned, never
+    all-pairs, zero signature recompute)."""
+    idx = _ensure_ann(spark, sf_dir)
+    return idx.lsh_neardup_pairs(threshold=0.3)
 
 
 def multimodal_features_q(spark, sf_dir):
@@ -702,6 +728,103 @@ WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
 tf_t AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
 sums AS (SELECT doc_id, {sums} FROM tf_t GROUP BY doc_id)
 SELECT doc_id, ({sig}) AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------- ANN oracles
+# The LSH hyperplanes are md5-seeded (similarity._hyperplane) and the
+# IVF centroid sample is an evenly-strided id pick, so the candidate
+# sets are reproducible in ANSI SQL: inline the SAME plane constants
+# and centroid rule and DuckDB re-derives the exact buckets.
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+def _lsh_sig_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_lit(p)}) > 0"
+        f" THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _ann_planes() -> list[list[float]]:
+    from gxdindexer_spark.operators.similarity import _hyperplane
+
+    return [_hyperplane(EMB_DIM, s) for s in range(ANN_PLANES_N)]
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ann_lsh_sql(k: int = 10, probes: int = 3) -> str:
+    planes = _ann_planes()
+    in_list = ", ".join(
+        ["qs.s"]
+        + [f"xor(qs.s, {1 << i})" for i in range(min(len(planes), probes - 1))]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_lsh_sig_sql("qv", planes)} AS s FROM q),
+tagged AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  {_lsh_sig_sql("embedding::DOUBLE[]", planes)} AS sig
+           FROM embeddings),
+cand AS (SELECT t.vec_id, t.e FROM tagged t, qs WHERE t.sig IN ({in_list})),
+s AS (SELECT cand.vec_id,
+             {_COS.format(a="cand.e", b="q.qv")} AS sc
+      FROM cand, q)
+SELECT vec_id, round(sc, 6) AS cos FROM s
+ORDER BY sc DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ann_neardup_lsh_sql(threshold: float = 0.3) -> str:
+    planes = _ann_planes()
+    cos = _COS.format(a="a.e", b="b.e")
+    return f"""
+WITH tagged AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                       {_lsh_sig_sql("embedding::DOUBLE[]", planes)} AS bucket
+                FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+FROM tagged a JOIN tagged b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+def _ann_ivf_sql(
+    k: int = 10, n_centroids: int = ANN_CENTROIDS_N, nprobe: int = 3
+) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+stride AS (SELECT greatest(count(*) // {n_centroids}, 1) AS st FROM emb),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+          FROM emb, stride WHERE vec_id % stride.st = 0
+          ORDER BY vec_id LIMIT {n_centroids}),
+scored AS (SELECT emb.vec_id, emb.e, cents.cid,
+                  {_COS.format(a="emb.e", b="cents.c")} AS cc
+           FROM emb CROSS JOIN cents),
+assigned AS (SELECT vec_id, e, cid FROM (
+    SELECT vec_id, e, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cc DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1),
+q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+probes AS (SELECT cid FROM cents, q
+           ORDER BY {_COS.format(a="cents.c", b="q.qv")} DESC, cid ASC
+           LIMIT {nprobe}),
+cand AS (SELECT a.vec_id, a.e FROM assigned a
+         WHERE a.cid IN (SELECT cid FROM probes)),
+s AS (SELECT cand.vec_id, {_COS.format(a="cand.e", b="q.qv")} AS sc
+      FROM cand, q)
+SELECT vec_id, round(sc, 6) AS cos FROM s
+ORDER BY sc DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -1056,6 +1179,9 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS media_sha256
             FROM documents
         """,
-        # ann_lsh_topk: intentionally no oracle (engine-internal
-        # hyperplanes); driver records rows-only check.
+        # ANN: the md5-seeded hyperplanes / strided centroid sample make
+        # the candidate sets SQL-reproducible — full hash-match oracles.
+        "ann_lsh_topk": _ann_lsh_sql(k=10, probes=3),
+        "ann_ivf_topk": _ann_ivf_sql(k=10, nprobe=3),
+        "embedding_neardup_lsh": _ann_neardup_lsh_sql(threshold=0.3),
     }

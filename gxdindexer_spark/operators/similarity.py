@@ -5,11 +5,18 @@
   Catalyst-planned. At 100 TB this is a single scan + top-k merge
   (orderBy(...).limit(k) compiles to per-partition TakeOrdered + a
   tiny driver merge — no global sort).
-* ``lsh_bucket_topk`` — the scale path: random-hyperplane signs (a
-  deterministic md5-seeded projection) bucket vectors; the query only
-  scans its own bucket ring. Approximate; recall grows with probes.
+* ``lsh_bucket_topk`` — random-hyperplane signs (a deterministic
+  md5-seeded projection) bucket vectors; the query only scores its
+  own bucket ring. Approximate; recall grows with probes.
 * ``embedding_neardup_pairs`` — pairwise cosine >= threshold within
   LSH buckets (near-duplicate detection over embeddings).
+
+These one-shot forms compute the signature/assignment inline — a full
+scan per call. They are the REFERENCE SEMANTICS and the per-call
+baseline; the serving path is operators/ann.py, which persists the
+same assignments ``partitionBy(bucket)`` once and answers queries
+with partition-pruned scans (results are identical — parity-tested
+in tests/test_ann.py).
 """
 
 from __future__ import annotations
