@@ -10,11 +10,12 @@ and the query path shuffles ONLY the query terms' postings.
   and accumulates scores fully vectorized (np.unique + np.add.at).
   It is the *exact* reference path — no pruning — and the shape that
   keeps all hot loops in numpy.
-* ``wand`` is document-at-a-time block-max WAND (Ding & Suel, WWW'11,
-  public): term upper bounds drive pivot selection, block-max metadata
-  rejects blocks that cannot beat the running threshold, and skip
-  pointers (block_first/block_last) jump cursors without decoding.
-  Exactness property-tested against ``taat`` (SURVEY.md §5.4).
+* ``wand`` is a fully-vectorized block-max MaxScore (Turtle & Flood
+  1995 + Ding & Suel WWW'11 block bounds, both public): term upper
+  bounds split lists into essential/non-essential, block-max metadata
+  + skip pointers bound candidates without decoding, and only the
+  blocks that still hold survivors are decoded. Exactness
+  property-tested against ``taat`` (SURVEY.md §5.4).
 
 Scores are float64 with Lucene formulas from functions/bm25.py;
 tiebreak (score desc, doc_id asc) everywhere.
@@ -22,7 +23,6 @@ tiebreak (score desc, doc_id asc) everywhere.
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass
 
 import numpy as np
@@ -211,133 +211,137 @@ def match_docs(postings: pd.DataFrame, spec: QuerySpec) -> np.ndarray:
     return ids
 
 
-class _Cursor:
-    """Iterates one posting list doc-at-a-time with block skipping."""
-
-    __slots__ = ("pl", "field", "ub", "blk", "pos", "docs", "tfs", "dls",
-                 "done", "w")
-
-    def __init__(self, field: str, w: float, pl: PostingList):
-        self.pl = pl
-        self.field = field
-        self.w = w
-        # term-level upper bound = w * max block tf-norm (idf folded in w)
-        self.ub = float(w * pl.block_max_tfn.max())
-        self.blk = 0
-        self.done = pl.n_blocks == 0
-        self.pos = 0
-        self.docs: np.ndarray | None = None
-        self.tfs: np.ndarray | None = None
-        self.dls: np.ndarray | None = None
-        if not self.done:
-            self._load(0)
-
-    def _load(self, b: int) -> None:
-        self.blk = b
-        self.docs, self.tfs, self.dls = self.pl.decode_block(b)
-        self.pos = 0
-
-    @property
-    def doc(self) -> int:
-        return int(self.docs[self.pos])
-
-    @property
-    def tf(self) -> int:
-        return int(self.tfs[self.pos])
-
-    @property
-    def dl(self) -> int:
-        return int(self.dls[self.pos])
-
-    def block_ub(self) -> float:
-        return float(self.w * self.pl.block_max_tfn[self.blk])
-
-    def next_after(self, target: int) -> None:
-        """Advance cursor to first doc >= target, skipping via the
-        block_last skip pointers without decoding skipped blocks."""
-        pl = self.pl
-        b = self.blk
-        if pl.block_last[b] < target:
-            b = int(np.searchsorted(pl.block_last, target))
-            if b >= pl.n_blocks:
-                self.done = True
-                return
-            self._load(b)
-        p = int(np.searchsorted(self.docs, target))
-        if p >= self.docs.size:  # target between blocks
-            if self.blk + 1 >= pl.n_blocks:
-                self.done = True
-                return
-            self._load(self.blk + 1)
-            p = 0
-        self.pos = p
-
-
 def wand(
     postings: pd.DataFrame,
     spec: QuerySpec,
     k: int,
     use_block_max: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND exact top-k; rank-identical to ``taat``."""
+    """Vectorized block-max top-k, rank-identical to ``taat``.
+
+    Round 1 ran classic doc-at-a-time WAND here; the pure-python pivot
+    loop cost more than TAAT's fully-vectorized exact scan at measured
+    scale. This is the same pruning family (MaxScore, Turtle & Flood
+    1995; block-max bounds, Ding & Suel WWW'11 — both public) arranged
+    so every hot loop is numpy:
+
+      1. sort lists by term upper bound (w * max block tf-norm) desc;
+      2. bootstrap a score floor ``theta``: the k-th largest exact
+         contribution of the TOP list alone lower-bounds the true
+         k-th best full score;
+      3. the maximal tail of lists whose upper bounds sum below theta
+         is NON-ESSENTIAL: docs appearing only there can never reach
+         the top-k (strictly below theta <= kth score, so not even a
+         doc_id tiebreak can admit them);
+      4. decode essential lists fully (vectorized), accumulate exact
+         partial scores over the candidate union, and raise theta to
+         the k-th largest partial (partials are lower bounds);
+      5. bound each candidate by partial + sum of the non-essential
+         lists' BLOCK maxes at the candidate's block — a searchsorted
+         over skip pointers, no decode — and drop candidates strictly
+         below theta (``>=`` keeps exact-tie candidates: stored block
+         bounds are float32 rounded UP, never below the float64
+         recompute, codec.encode_postings);
+      6. decode only the non-essential blocks that still contain
+         survivors and add exact contributions.
+
+    Long stopword-like lists are typically non-essential, so their
+    postings are bounded block-wise and mostly never decoded — the
+    same skip benefit WAND gets from cursors, without per-doc python.
+    """
+    if spec.is_boolean:
+        return taat(postings, spec, k)
     lists = _plists(postings, spec)
-    if not lists:
+    entries = [
+        (float(w * pl.block_max_tfn.max()), f, w, pl)
+        for f, _t, w, pl in lists
+        if pl.n_blocks
+    ]
+    if not entries:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cursors = [_Cursor(f, w, pl) for f, _t, w, pl in lists if pl.n_blocks]
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    entries.sort(key=lambda e: -e[0])
+    ubs = np.array([e[0] for e in entries], dtype=np.float64)
+
+    def decode_contribs(field: str, w: float, pl: PostingList):
+        docs, tfs, dls = pl.decode_all()
+        c = w * bm25.tf_norm(
+            tfs.astype(np.float64),
+            dls.astype(np.float64),
+            spec.avgdl[field],
+            spec.k1,
+            spec.b,
+        )
+        return docs, c
+
+    # (2) bootstrap theta from the highest-ub list
+    d0, c0 = decode_contribs(entries[0][1], entries[0][2], entries[0][3])
     theta = 0.0
+    if c0.size >= k:
+        theta = float(np.partition(c0, c0.size - k)[c0.size - k])
 
-    def full_score(active: list[_Cursor]) -> float:
-        s = 0.0
-        for c in active:
-            tfn = float(
-                bm25.tf_norm(c.tf, c.dl, spec.avgdl[c.field], spec.k1, spec.b)
-            )
-            s += c.w * tfn
-        return s
+    # (3) essential/non-essential split: suffix[i] = sum(ubs[i:])
+    suffix = np.cumsum(ubs[::-1])[::-1]
+    n_ess = 1
+    while n_ess < len(entries) and suffix[n_ess] >= theta:
+        n_ess += 1
+    ess, ness = entries[:n_ess], entries[n_ess:]
 
-    while True:
-        live = [c for c in cursors if not c.done]
-        if not live:
-            break
-        live.sort(key=lambda c: c.doc)
-        # pivot: first index where cumulative UB can beat theta
-        acc = 0.0
-        pivot_i = -1
-        for i, c in enumerate(live):
-            acc += c.ub
-            # >= not >: a doc scoring exactly theta can still enter the
-            # heap on the doc_id tiebreak — pruning it breaks rank
-            # identity on exact ties.
-            if acc >= theta or len(heap) < k:
-                pivot_i = i
-                break
-        if pivot_i < 0:
-            break
-        pivot_doc = live[pivot_i].doc
-        if live[0].doc == pivot_doc:
-            leading = [c for c in live if not c.done and c.doc == pivot_doc]
-            # block-max refinement: sum of current block UBs must beat theta
-            if use_block_max and len(heap) >= k:
-                block_acc = sum(c.block_ub() for c in leading)
-                if block_acc < theta:  # strict: preserve tie candidates
-                    for c in leading:
-                        c.next_after(pivot_doc + 1)
-                    continue
-            s = full_score(leading)
-            if len(heap) < k:
-                heapq.heappush(heap, (s, -pivot_doc))
-            elif (s, -pivot_doc) > heap[0]:
-                heapq.heapreplace(heap, (s, -pivot_doc))
-            if len(heap) == k:
-                theta = heap[0][0]
-            for c in leading:
-                c.next_after(pivot_doc + 1)
+    # (4) exact partial scores over essential candidates
+    decoded = [(d0, c0)] + [
+        decode_contribs(f, w, pl) for (_ub, f, w, pl) in ess[1:]
+    ]
+    cand, inv = np.unique(
+        np.concatenate([d for d, _c in decoded]), return_inverse=True
+    )
+    part = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(part, inv, np.concatenate([c for _d, c in decoded]))
+    if cand.size >= k:
+        theta = max(
+            theta, float(np.partition(part, cand.size - k)[cand.size - k])
+        )
+
+    if not ness:
+        return _topk_from_scores(cand, part, k)
+
+    # (5) per-candidate upper bound via non-essential block maxes
+    bound = part.copy()
+    probes = []
+    for _ub, _f, w, pl in ness:
+        idx = np.searchsorted(pl.block_last, cand)
+        idxc = np.minimum(idx, pl.n_blocks - 1)
+        inb = (idx < pl.n_blocks) & (pl.block_first[idxc] <= cand)
+        if use_block_max:
+            add = w * pl.block_max_tfn[idxc].astype(np.float64)
         else:
-            # advance all cursors before the pivot to pivot_doc
-            for c in live[:pivot_i]:
-                c.next_after(pivot_doc)
-    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
-    doc_ids = np.array([-d for _s, d in ranked], dtype=np.int64)
-    scores = np.array([s for s, _d in ranked], dtype=np.float64)
-    return doc_ids, scores
+            add = np.full(cand.size, _ub, dtype=np.float64)
+        bound += np.where(inb, add, 0.0)
+        probes.append((idxc, inb))
+    keep = bound >= theta
+    cand_k, scores = cand[keep], part[keep]
+
+    # (6) decode only blocks still holding survivors; exact add
+    for (_ub, f, w, pl), (idxc, inb) in zip(ness, probes):
+        sel = inb[keep]
+        if not sel.any():
+            continue
+        kept_pos = np.flatnonzero(sel)  # indices into cand_k/scores
+        c_sel = cand_k[sel]
+        b_sel = idxc[keep][sel]
+        for b in np.unique(b_sel):
+            m = b_sel == b
+            cb = c_sel[m]
+            docs_b, tfs_b, dls_b = pl.decode_block(int(b))
+            pos = np.searchsorted(docs_b, cb)
+            posc = np.minimum(pos, docs_b.size - 1)
+            hit = docs_b[posc] == cb
+            if not hit.any():
+                continue
+            contrib = w * bm25.tf_norm(
+                tfs_b[posc[hit]].astype(np.float64),
+                dls_b[posc[hit]].astype(np.float64),
+                spec.avgdl[f],
+                spec.k1,
+                spec.b,
+            )
+            scores[kept_pos[m][hit]] += contrib
+    return _topk_from_scores(cand_k, scores, k)

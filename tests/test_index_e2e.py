@@ -247,9 +247,13 @@ def test_partial_build_resume(built, spark, tmpdir_idx):
         assert e1.blockmax_safe is False
         assert e2.blockmax_safe is True
         q = "getPostingBuffer import"
-        assert (
-            e1.topk(q, 10).collect() == e2.topk(q, 10).collect()
-        )
+        # e1 runs exact TAAT (stale block-max), e2 runs pruned wand:
+        # ranks identical, scores equal up to summation-order ulps
+        r1 = e1.topk(q, 10).collect()
+        r2 = e2.topk(q, 10).collect()
+        assert [r["doc_id"] for r in r1] == [r["doc_id"] for r in r2]
+        for a_row, b_row in zip(r1, r2):
+            assert a_row["score"] == pytest.approx(b_row["score"], rel=1e-12)
     finally:
         shutil.rmtree(ref_dir, ignore_errors=True)
 
@@ -446,10 +450,13 @@ def test_orphan_shards_removed_on_shrunk_corpus(built, spark, tmpdir_idx):
         )
         pd.testing.assert_frame_equal(a, b)
         q = "getIndexList if return"
-        assert (
-            IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
-            == IndexQueryEngine(spark, ref).topk(q, 10).collect()
-        )
+        # shrunk index is blockmax-stale (TAAT fallback) vs fresh wand:
+        # ranks identical, scores equal up to summation-order ulps
+        r1 = IndexQueryEngine(spark, tmpdir_idx).topk(q, 10).collect()
+        r2 = IndexQueryEngine(spark, ref).topk(q, 10).collect()
+        assert [r["doc_id"] for r in r1] == [r["doc_id"] for r in r2]
+        for a_row, b_row in zip(r1, r2):
+            assert a_row["score"] == pytest.approx(b_row["score"], rel=1e-12)
     finally:
         _sh.rmtree(ref, ignore_errors=True)
 
