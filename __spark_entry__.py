@@ -93,6 +93,30 @@ def bm25_phrase(spark, sf_dir):
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def bm25_phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase (slop=2): in-order matches with total gap <= slop,
+    each weighted 1/(1+gap) — wand._sloppy_pf contract."""
+    idx = _ensure_index_pos(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.phrase_topk(PHRASE_QUERY, k=15, field="content", slop=2)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+FACET_QUERY = "st* join"
+
+
+def facet_counts_q(spark, sf_dir):
+    """Facet counts over the match set grouped by a doc attribute —
+    the reference's GxdResultHasImageIndexer / matrix-group-key
+    pattern served straight off the index."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return eng.facet_counts(FACET_QUERY, d, by="source")
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
@@ -358,6 +382,75 @@ def sessionization(spark, sf_dir):
 # ----------------------------------------------------------- text / index
 
 
+def cast_equi_join(spark, sf_dir):
+    """J6: equi-join whose key needs a type cast on both sides
+    (GxdResultIndexer.java:150-151 joins string-typed keys to ints)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.withColumn("ck", F.col("o_custkey").cast("string"))
+        .join(
+            c.withColumn("ck", F.col("c_custkey").cast("string")), "ck"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def profile_rollup_8way(spark, sf_dir):
+    """A7: eight guarded collect_sets in ONE grouped pass — the
+    reference's profile-marker rollup builds 8 conditional set-valued
+    fields per marker in one sweep
+    (GxdProfileMarkerIndexer.java:273-311)."""
+    c = _t(spark, sf_dir, "customer")
+    tiers = [
+        ("t0", F.col("c_acctbal") < 0),
+        ("t1", (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 3000)),
+        ("t2", (F.col("c_acctbal") >= 3000) & (F.col("c_acctbal") < 7000)),
+        ("t3", F.col("c_acctbal") >= 7000),
+    ]
+    aggs = []
+    for name, cond in tiers:
+        aggs.append(
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(F.when(cond, F.col("c_mktsegment")))
+                ),
+                ",",
+            ).alias(f"segs_{name}")
+        )
+        aggs.append(
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(cond, (F.col("c_custkey") % 7).cast("string"))
+                    )
+                ),
+                ",",
+            ).alias(f"cc_{name}")
+        )
+    return c.groupBy("c_nationkey").agg(*aggs)
+
+
+def conditional_prepend(spark, sf_dir):
+    """F9: conditionally prefix a text column
+    (GxdResultIndexer.java:1476-1483 prepends a note only when the
+    stage condition holds)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.concat(F.lit("DONE: "), F.col("o_orderpriority")),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_note"),
+    )
+
+
 def tokenize_tf_top50(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -607,7 +700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard": bm25_wildcard,
         "bm25_boolean": bm25_boolean,
         "bm25_phrase": bm25_phrase,
+        "bm25_phrase_sloppy": bm25_phrase_sloppy,
         "match_count_or": match_count_or,
+        "facet_counts": facet_counts_q,
+        "cast_equi_join": cast_equi_join,
+        "profile_rollup_8way": profile_rollup_8way,
+        "conditional_prepend": conditional_prepend,
         "dedup_exact": dedup_exact_q,
         "fingerprint": fingerprint_q,
         "token_counts": token_counts_q,
@@ -826,6 +924,32 @@ s AS (SELECT cand.vec_id, {_COS.format(a="cand.e", b="q.qv")} AS sc
 SELECT vec_id, round(sc, 6) AS cos FROM s
 ORDER BY sc DESC, vec_id ASC LIMIT {k}
 """
+
+
+def _profile_rollup_sql() -> str:
+    """A7 oracle: 8 conditional distinct-set aggregations per group."""
+    tiers = [
+        ("t0", "c_acctbal < 0"),
+        ("t1", "c_acctbal >= 0 AND c_acctbal < 3000"),
+        ("t2", "c_acctbal >= 3000 AND c_acctbal < 7000"),
+        ("t3", "c_acctbal >= 7000"),
+    ]
+    cols = []
+    for name, cond in tiers:
+        for alias, expr in (
+            (f"segs_{name}", "c_mktsegment"),
+            (f"cc_{name}", "CAST(c_custkey % 7 AS VARCHAR)"),
+        ):
+            case = f"CASE WHEN {cond} THEN {expr} END"
+            cols.append(
+                f"coalesce(string_agg(DISTINCT {case}, ','"
+                f" ORDER BY {case}), '') AS {alias}"
+            )
+    return (
+        "SELECT c_nationkey, "
+        + ", ".join(cols)
+        + " FROM customer GROUP BY c_nationkey"
+    )
 
 
 _QUALITY_SQL = """
@@ -1096,6 +1220,66 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN stats CROSS JOIN idfsum)
             SELECT doc_id, round(sc, 4) AS score FROM scored
             ORDER BY sc DESC, doc_id ASC LIMIT 15
+        """,
+        "bm25_phrase_sloppy": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            flat AS (
+              SELECT doc_id, u.t AS term, u.p AS p
+              FROM (SELECT doc_id, unnest(list_transform(
+                       range(1, len(toks) + 1),
+                       i -> struct_pack(t := toks[i], p := i))) AS u
+                    FROM tk)),
+            dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tk),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+                      FROM dl),
+            dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM flat WHERE term IN ('table', 'part') GROUP BY 1),
+            idfsum AS (SELECT sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)))
+                         AS s FROM dfs CROSS JOIN stats),
+            -- in-order matches with gap <= slop(2), weight 1/(1+gap)
+            pf AS (SELECT a.doc_id,
+                          sum(1.0 / (1 + (b.p - a.p - 1))) AS pf
+                   FROM flat a JOIN flat b
+                     ON a.doc_id = b.doc_id
+                    AND b.p > a.p AND b.p - a.p - 1 <= 2
+                   WHERE a.term = 'table' AND b.term = 'part'
+                   GROUP BY 1),
+            scored AS (
+              SELECT pf.doc_id,
+                     idfsum.s * pf.pf
+                       / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS sc
+              FROM pf JOIN dl USING (doc_id)
+              CROSS JOIN stats CROSS JOIN idfsum)
+            SELECT doc_id, round(sc, 4) AS score FROM scored
+            ORDER BY sc DESC, doc_id ASC LIMIT 15
+        """,
+        "facet_counts": f"""
+            {_TOKS_CTE},
+            m AS (SELECT DISTINCT doc_id FROM toks
+                  WHERE term LIKE 'st%' OR term = 'join')
+            SELECT source, count(*)::BIGINT AS n_docs
+            FROM m JOIN documents USING (doc_id)
+            GROUP BY source
+        """,
+        "cast_equi_join": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer
+              ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+            GROUP BY c_mktsegment
+        """,
+        "profile_rollup_8way": _profile_rollup_sql(),
+        "conditional_prepend": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN 'DONE: ' || o_orderpriority
+                        ELSE o_orderpriority END AS priority_note
+            FROM orders
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, sha256(coalesce(text, '')) AS hh

@@ -286,11 +286,14 @@ class IndexQueryEngine:
         )
 
     def phrase_topk(
-        self, phrase: str, k: int = 10, field: str = "content"
+        self, phrase: str, k: int = 10, field: str = "content",
+        slop: int = 0,
     ) -> DataFrame:
-        """Exact phrase (slop=0) top-k over a positional index —
-        Lucene PhraseQuery: tf = phrase frequency, idf = sum of the
-        constituent terms' idfs, field weight applied."""
+        """Phrase top-k over a positional index — Lucene PhraseQuery:
+        tf = phrase frequency, idf = sum of the constituent terms'
+        idfs, field weight applied. ``slop > 0`` allows in-order
+        matches with up to ``slop`` total gap, each weighted
+        1/(1+gap) (wand.phrase docstring has the exact contract)."""
         if not self.manifest.get("with_positions"):
             raise ValueError(
                 "index was built without positions "
@@ -317,7 +320,7 @@ class IndexQueryEngine:
 
         def shard_phrase(pg: pd.DataFrame) -> pd.DataFrame:
             ids, scores = wand_mod.phrase_topk_shard(
-                pg, tids, field, idf_sum, avgdl, k, k1, b
+                pg, tids, field, idf_sum, avgdl, k, k1, b, slop=slop
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -325,6 +328,54 @@ class IndexQueryEngine:
             shard_phrase, schema=_HITS_SCHEMA
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def matching_docs(
+        self, query: str, fields: list[str] | None = None
+    ) -> DataFrame:
+        """Distinct doc_ids matching the query (OR over scoring terms,
+        boolean clauses applied) — the match SET, not just its size.
+        Shards partition docID space, so per-shard sets are disjoint
+        and no global distinct shuffle is needed."""
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False)]
+        )
+        if not spec.term_weights:
+            return self.spark.createDataFrame([], out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+
+        def shard_docs(pg: pd.DataFrame) -> pd.DataFrame:
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            return pd.DataFrame({"doc_id": ids})
+
+        return self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_docs, schema=out_schema
+        )
+
+    def facet_counts(
+        self,
+        query: str,
+        facets_df: DataFrame,
+        by: str,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Count matching docs grouped by a document attribute — the
+        faceting primitive the reference materialized a whole clone
+        index for (GxdResultHasImageIndexer.java:25-32; matrix group
+        keys GxdResultIndexer.java:1242-1246).
+
+        ``facets_df`` is (doc_id, <by>, ...). Plan shape: per-shard
+        match sets (tiny: doc_id only) shuffle-join the attribute
+        table on doc_id, then a partial+final count agg — the join key
+        is the same dense doc_id both sides, so AQE handles skew; at
+        cluster scale co-locate by writing facets_df bucketed on
+        doc_id. -> (<by>, n_docs)."""
+        m = self.matching_docs(query, fields)
+        return (
+            m.join(facets_df.select("doc_id", by), "doc_id")
+            .groupBy(by)
+            .agg(F.count("*").alias("n_docs"))
+        )
 
     def count_matches(
         self, query: str, fields: list[str] | None = None

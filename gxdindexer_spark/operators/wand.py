@@ -150,6 +150,42 @@ def taat(
     return _topk_from_scores(uniq, scores, k)
 
 
+def _sloppy_pf(pos_lists: list[np.ndarray], slop: int) -> float:
+    """Phrase frequency over one doc's per-term position arrays.
+
+    A match is an IN-ORDER tuple (p_1 < p_2 < ... < p_n), one position
+    per phrase slot, whose cumulative gap sum((p_{i+1} - p_i) - 1) is
+    <= ``slop``; each match contributes 1/(1 + total_gap) (the Lucene
+    sloppyFreq shape: looser matches count less). slop=0 degenerates to
+    adjacent chains with weight 1 — classic exact PhraseQuery tf.
+    Unlike Lucene we do not allow out-of-order matches at slop >= 2;
+    the in-order contract is what the DuckDB oracle reproduces.
+
+    Vectorized frontier expansion: the candidate set is (position,
+    used_gap) pairs; each next term extends every candidate to the
+    positions inside its remaining-slop window via two searchsorteds.
+    """
+    cand_pos = pos_lists[0].astype(np.int64)
+    cand_gap = np.zeros(cand_pos.size, dtype=np.int64)
+    for pos_t in pos_lists[1:]:
+        lo = np.searchsorted(pos_t, cand_pos + 1, side="left")
+        hi = np.searchsorted(
+            pos_t, cand_pos + 1 + (slop - cand_gap), side="right"
+        )
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return 0.0
+        rep = np.repeat(np.arange(cand_pos.size), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        flat = pos_t[np.repeat(lo, counts) + offs]
+        cand_gap = cand_gap[rep] + (flat - cand_pos[rep] - 1)
+        cand_pos = flat
+    return float(np.sum(1.0 / (1.0 + cand_gap)))
+
+
 def phrase_topk_shard(
     postings: pd.DataFrame,
     ordered_tids: list[int],
@@ -159,11 +195,12 @@ def phrase_topk_shard(
     k: int,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase (slop=0) scoring for one shard, Lucene PhraseQuery
-    semantics: tf = phrase frequency (adjacent position chains), idf =
-    sum of the constituent terms' idfs, weighted by the field weight
-    (folded into ``idf_sum``). Requires a positional index."""
+    """Phrase scoring for one shard, Lucene PhraseQuery semantics:
+    tf = (sloppy) phrase frequency (see ``_sloppy_pf``), idf = sum of
+    the constituent terms' idfs, weighted by the field weight (folded
+    into ``idf_sum``). Requires a positional index."""
     by_tid: dict[int, tuple] = {}
     for r in postings.itertuples():
         if r.field != field:
@@ -180,19 +217,14 @@ def phrase_topk_shard(
     for t in ordered_tids[1:]:
         common = np.intersect1d(common, by_tid[t][0], assume_unique=True)
     out_docs, out_scores = [], []
-    d0, dl0, p0 = by_tid[ordered_tids[0]]
+    d0, dl0, _p0 = by_tid[ordered_tids[0]]
     for doc in common:
-        # candidates anchored at the FIRST term's positions: keep x if
-        # term_i occurs at x+i for every following phrase slot
-        cand = p0[int(np.searchsorted(d0, doc))]
-        for i, t in enumerate(ordered_tids[1:], start=1):
+        pos_lists = []
+        for t in ordered_tids:
             docs_t, _dls_t, pos_t = by_tid[t]
-            j = int(np.searchsorted(docs_t, doc))
-            cand = cand[np.isin(cand + i, pos_t[j])]
-            if cand.size == 0:
-                break
-        pf = int(cand.size)
-        if pf:
+            pos_lists.append(pos_t[int(np.searchsorted(docs_t, doc))])
+        pf = _sloppy_pf(pos_lists, slop)
+        if pf > 0.0:
             dl = float(dl0[int(np.searchsorted(d0, doc))])
             score = idf_sum * float(bm25.tf_norm(pf, dl, avgdl, k1, b))
             out_docs.append(int(doc))

@@ -523,3 +523,87 @@ def test_wildcard_expansion_is_bounded(built, spark):
         eng.expand_prefix("content", "")
     with pytest.raises(ValueError, match="empty wildcard"):
         eng.parse_query("foo *")
+
+
+def test_sloppy_phrase_matches_python_oracle(spark, tmp_path):
+    """slop>0 phrase: in-order matches with total gap <= slop, each
+    weighted 1/(1+gap); slop=0 path must equal the exact phrase."""
+    idx = str(tmp_path / "sidx")
+    corpus = generate_corpus(spark, 150, seed=21, partitions=4)
+    docs = prepare_docs(corpus, docs_per_shard=60, partitions=4).cache()
+    IndexBuilder(
+        docs_per_shard=60, salt_range=64, block_size=16, with_positions=True
+    ).build(docs, idx, resume=False)
+    pdocs = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    eng = IndexQueryEngine(spark, idx)
+
+    originals = {
+        int(r.doc_id): analyze.phrase_tokens(r.content, "code")
+        for r in pdocs.itertuples()
+    }
+    t1, t2 = originals[0][0], originals[0][1]
+    phrase, slop = f"{t1} {t2}", 3
+
+    got = eng.phrase_topk(phrase, k=20, field="content", slop=slop).collect()
+
+    N = len(originals)
+    full_tokens = {
+        d: analyze.code_tokens(pd.Series([c])).iloc[0]
+        for d, c in zip(pdocs["doc_id"], pdocs["content"])
+    }
+    dls = {d: len(t) for d, t in originals.items()}
+    avgdl = sum(dls.values()) / N
+    idf_sum = sum(
+        float(bm25.idf(N, sum(1 for t in full_tokens.values() if q in t)))
+        for q in (t1, t2)
+    )
+    scores = {}
+    for d, toks in originals.items():
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        pf = sum(
+            1.0 / (b - a)
+            for a in p1
+            for b in p2
+            if b > a and (b - a - 1) <= slop
+        )
+        if pf > 0:
+            scores[d] = idf_sum * float(bm25.tf_norm(pf, dls[d], avgdl))
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    # slop widening is monotone: every slop=0 match still matches
+    exact_ids = {
+        r["doc_id"] for r in eng.phrase_topk(phrase, k=200).collect()
+    }
+    sloppy_ids = {
+        r["doc_id"]
+        for r in eng.phrase_topk(phrase, k=200, slop=slop).collect()
+    }
+    assert exact_ids <= sloppy_ids
+
+
+def test_facet_counts_match_set_algebra(built, spark):
+    """facet_counts == group-by over the brute-force match set."""
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    facets = spark.createDataFrame(
+        pdocs[["doc_id", "lang"]].rename(columns={"lang": "facet"})
+    )
+    got = {
+        r["facet"]: r["n_docs"]
+        for r in eng.facet_counts(
+            "merge* if", facets, by="facet", fields=["content"]
+        ).collect()
+    }
+    toks = {
+        int(d): set(t)
+        for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
+    }
+    langs = dict(zip(pdocs["doc_id"].astype(int), pdocs["lang"]))
+    expect: dict = {}
+    for d, ts in toks.items():
+        if "if" in ts or any(t.startswith("merge") for t in ts):
+            expect[langs[d]] = expect.get(langs[d], 0) + 1
+    assert got == expect and got
