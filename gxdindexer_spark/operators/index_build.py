@@ -462,7 +462,15 @@ class IndexBuilder:
             )
             tf.unpersist()
             mark("postings")
-        self._finalize_stats(spark, index_dir)
+        # global stats only change when shards did: a pure no-op resume
+        # (the common "is it up to date?" probe) skips the dictionary
+        # re-agg + collision check + corpus_stats rewrite entirely.
+        changed = bool(pending) or bool(orphans)
+        if changed or not (
+            os.path.isdir(f"{index_dir}/dictionary")
+            and os.path.isdir(f"{index_dir}/corpus_stats")
+        ):
+            self._finalize_stats(spark, index_dir)
         mark("finalize")
         wall_ms = int((time.monotonic() - t0) * 1000)
 
@@ -470,7 +478,7 @@ class IndexBuilder:
         # at engine init (vs O(shards) file opens at the 10^6-shard
         # target). Skipped shards keep their prior entries; orphans
         # were dropped above.
-        built = self._shard_metrics(spark, index_dir, pending)
+        built = self._shard_metrics(spark, index_dir, pending) if pending else {}
         mark("shard_metrics")
         entries = {s: e for s, e in done.items() if s in shard_fp}
         for s in pending:

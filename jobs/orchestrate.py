@@ -1,0 +1,137 @@
+"""Multi-index build orchestration with adaptive longest-first order.
+
+The reference builds six Solr indexes per run and schedules them
+longest-previous-runtime-first from a persisted timings table so the
+critical-path job starts earliest (bin/buildIndexes:175-207 reads the
+prior run's per-index durations; Main.java:28-33 dispatches by name).
+
+Spark analog: one driver builds N index VARIANTS of the same corpus
+(base, positional, a facet-ready docs projection, the ANN index, ...).
+Each build already saturates the cluster's executors, so variants run
+serially in one SparkSession — ordering longest-first still minimizes
+perceived makespan (the big job's progress is visible first, and a
+mid-run abort loses the least-expensive remainder) and mirrors the
+reference's contract. Wall times persist to ``timings.json`` next to
+the indexes and feed the NEXT run's order.
+
+Usage (local):
+    python jobs/orchestrate.py --synth-docs 5000 --out-dir /tmp/multi
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def load_timings(path: str) -> dict[str, float]:
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as fh:
+        return {k: float(v) for k, v in json.load(fh).items()}
+
+
+def save_timings(path: str, timings: dict[str, float]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(timings, fh, indent=2)
+    os.replace(tmp, path)
+
+
+def schedule(
+    names: list[str], prev_timings: dict[str, float]
+) -> list[str]:
+    """Longest-previous-runtime-first; never-seen jobs run first (the
+    reference treats missing timings as +inf so new indexes aren't
+    starved behind known-long ones), name-asc tiebreak."""
+    return sorted(
+        names,
+        key=lambda n: (-prev_timings.get(n, float("inf")), n),
+    )
+
+
+def run_builds(
+    spark: SparkSession,
+    builds: dict[str, Callable[[SparkSession], dict | None]],
+    timings_path: str,
+) -> dict[str, dict]:
+    """Run every build callable, longest-first from persisted timings;
+    persist this run's wall times (merged) for the next run."""
+    prev = load_timings(timings_path)
+    order = schedule(list(builds), prev)
+    results: dict[str, dict] = {}
+    for i, name in enumerate(order):
+        t0 = time.monotonic()
+        metrics = builds[name](spark) or {}
+        wall = time.monotonic() - t0
+        results[name] = {"order": i, "wall_sec": round(wall, 3), **metrics}
+    save_timings(
+        timings_path,
+        {**prev, **{n: results[n]["wall_sec"] for n in results}},
+    )
+    return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    from gxdindexer_spark.operators.index_build import IndexBuilder
+    from gxdindexer_spark.session import get_spark
+    from gxdindexer_spark.sources.synth import generate_corpus
+    from gxdindexer_spark.sources.tables import prepare_docs
+
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--corpus", help="parquet path with corpus columns")
+    src.add_argument("--synth-docs", type=int, help="generate N synthetic docs")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--docs-per-shard", type=int, default=1_000_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="orchestrate-indexes", master=args.master)
+    try:
+        if args.corpus:
+            corpus = spark.read.parquet(args.corpus)
+        else:
+            corpus = generate_corpus(
+                spark, args.synth_docs, seed=args.seed,
+                partitions=args.partitions,
+            )
+        docs = prepare_docs(
+            corpus, docs_per_shard=args.docs_per_shard,
+            partitions=args.partitions,
+        ).cache()
+        resume = not args.no_resume
+
+        def base(s: SparkSession) -> dict:
+            return IndexBuilder(docs_per_shard=args.docs_per_shard).build(
+                docs, f"{args.out_dir}/base", resume=resume
+            )
+
+        def positional(s: SparkSession) -> dict:
+            return IndexBuilder(
+                docs_per_shard=args.docs_per_shard, with_positions=True
+            ).build(docs, f"{args.out_dir}/positional", resume=resume)
+
+        builds = {"base": base, "positional": positional}
+        results = run_builds(
+            spark, builds, f"{args.out_dir}/timings.json"
+        )
+        print(json.dumps({"orchestration": results}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
