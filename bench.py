@@ -21,7 +21,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from gxdindexer_spark.operators import similarity  # noqa: E402
 from gxdindexer_spark.operators.index_build import IndexBuilder  # noqa: E402
 from gxdindexer_spark.operators.query import IndexQueryEngine  # noqa: E402
 from gxdindexer_spark.session import get_spark  # noqa: E402
@@ -120,6 +119,17 @@ def main() -> int:
     t0 = time.monotonic()
     peng.phrase_topk("table part", k=15).collect()
     timings["bm25_phrase"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    peng.phrase_topk("table part", k=15, slop=2).collect()
+    timings["bm25_phrase_sloppy"] = round(time.monotonic() - t0, 3)
+    # facet counts over the match set (the reference's Hoxd*-has-image
+    # pattern: group the match set by a doc attribute)
+    facets = entrymod._t(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    t0 = time.monotonic()
+    eng.facet_counts("st* join", facets, by="source").collect()
+    timings["facet_counts"] = round(time.monotonic() - t0, 3)
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:
@@ -129,10 +139,28 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
         del n
 
-    # embedding near-dup via LSH blocking (scale path)
+    # ---------------------------------------------- materialized ANN
+    # one-time index build (scan + partitioned write), then
+    # partition-pruned queries — the serving path (operators/ann.py)
+    from gxdindexer_spark.operators import ann
+
     emb = entrymod._t(spark, SF_DIR, "embeddings")
+    ann_dir = f"/tmp/gxdann_bench_{os.path.basename(os.path.normpath(SF_DIR))}"
+    shutil.rmtree(ann_dir, ignore_errors=True)
     t0 = time.monotonic()
-    similarity.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6).count()
+    ann.build_ann_index(emb, ann_dir, n_planes=6, n_centroids=8, resume=False)
+    timings["ann_index_build"] = round(time.monotonic() - t0, 3)
+    aidx = ann.AnnIndex(spark, ann_dir)
+    qvec = entrymod._query_vec(spark, SF_DIR)
+    t0 = time.monotonic()
+    aidx.lsh_topk(qvec, k=10, probes=3).collect()
+    timings["ann_lsh_topk"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    aidx.ivf_topk(qvec, k=10, nprobe=3).collect()
+    timings["ann_ivf_topk"] = round(time.monotonic() - t0, 3)
+    # embedding near-dup blocked by the persisted LSH buckets
+    t0 = time.monotonic()
+    aidx.lsh_neardup_pairs(threshold=0.3).count()
     timings["embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)

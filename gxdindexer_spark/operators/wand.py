@@ -351,29 +351,29 @@ def wand(
     keep = bound >= theta
     cand_k, scores = cand[keep], part[keep]
 
-    # (6) decode only blocks still holding survivors; exact add
+    # (6) exact contributions for survivors from non-essential lists:
+    # batched selective decode — ONE varbyte pass over just the blocks
+    # that still hold survivors (codec.decode_blocks), then a
+    # searchsorted join of survivors against the decoded span.
     for (_ub, f, w, pl), (idxc, inb) in zip(ness, probes):
         sel = inb[keep]
         if not sel.any():
             continue
         kept_pos = np.flatnonzero(sel)  # indices into cand_k/scores
         c_sel = cand_k[sel]
-        b_sel = idxc[keep][sel]
-        for b in np.unique(b_sel):
-            m = b_sel == b
-            cb = c_sel[m]
-            docs_b, tfs_b, dls_b = pl.decode_block(int(b))
-            pos = np.searchsorted(docs_b, cb)
-            posc = np.minimum(pos, docs_b.size - 1)
-            hit = docs_b[posc] == cb
-            if not hit.any():
-                continue
-            contrib = w * bm25.tf_norm(
-                tfs_b[posc[hit]].astype(np.float64),
-                dls_b[posc[hit]].astype(np.float64),
-                spec.avgdl[f],
-                spec.k1,
-                spec.b,
-            )
-            scores[kept_pos[m][hit]] += contrib
+        blocks = np.unique(idxc[keep][sel])
+        docs_a, tfs_a, dls_a = pl.decode_blocks(blocks)
+        pos = np.searchsorted(docs_a, c_sel)
+        posc = np.minimum(pos, docs_a.size - 1)
+        hit = docs_a[posc] == c_sel
+        if not hit.any():
+            continue
+        contrib = w * bm25.tf_norm(
+            tfs_a[posc[hit]].astype(np.float64),
+            dls_a[posc[hit]].astype(np.float64),
+            spec.avgdl[f],
+            spec.k1,
+            spec.b,
+        )
+        scores[kept_pos[hit]] += contrib
     return _topk_from_scores(cand_k, scores, k)

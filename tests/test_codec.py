@@ -119,3 +119,29 @@ def test_merge_salted_rejects_overlap():
     p1["salt"], p2["salt"] = 0, 1
     with pytest.raises(ValueError):
         merge_salted([p1, p2])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 400),
+    st.integers(0, 10_000),
+    st.data(),
+)
+def test_decode_blocks_matches_per_block(n, seed, data):
+    """Batched selective decode == concatenation of per-block decodes
+    for any ascending block subset."""
+    _ids, _tfs, _dls, _tfn, row = _mk_postings(n, seed=seed, block_size=8)
+    pl = posting_list_from_row("t", row)
+    subset = sorted(
+        data.draw(
+            st.sets(
+                st.integers(0, pl.n_blocks - 1),
+                min_size=1,
+                max_size=pl.n_blocks,
+            )
+        )
+    )
+    got = pl.decode_blocks(np.array(subset))
+    parts = [pl.decode_block(b) for b in subset]
+    for i in range(3):
+        assert np.array_equal(got[i], np.concatenate([p[i] for p in parts]))
