@@ -84,14 +84,26 @@ def main() -> int:
 
     # ------------------------------------------------- BM25 query latency
     eng = IndexQueryEngine(spark, idx_dir)
-    for mode in ("wand", "taat"):
-        lats = []
+    # warmup: first index query pays parquet footer reads + codegen;
+    # don't charge it to whichever mode happens to run first. Modes
+    # alternate order across reps (order-fair) and min-of-reps drops
+    # noisy-neighbor interference; p50 over the per-query mins.
+    eng.topk(BM25_QUERIES[0], k=20, mode="taat").collect()
+    mode_lat: dict[str, dict[str, float]] = {
+        m: {} for m in ("wand", "taat")
+    }
+    for rep in range(3):
         for q in BM25_QUERIES:
-            t0 = time.monotonic()
-            eng.topk(q, k=20, mode=mode).collect()
-            lats.append(time.monotonic() - t0)
-        timings[f"bm25_{mode}_p50"] = round(sorted(lats)[len(lats) // 2], 3)
-        timings[f"bm25_{mode}_max"] = round(max(lats), 3)
+            order = ("wand", "taat") if rep % 2 == 0 else ("taat", "wand")
+            for m in order:
+                t0 = time.monotonic()
+                eng.topk(q, k=20, mode=m).collect()
+                dt = time.monotonic() - t0
+                mode_lat[m][q] = min(mode_lat[m].get(q, dt), dt)
+    for mode in ("wand", "taat"):
+        lats = sorted(mode_lat[mode].values())
+        timings[f"bm25_{mode}_p50"] = round(lats[len(lats) // 2], 3)
+        timings[f"bm25_{mode}_max"] = round(lats[-1], 3)
     # wildcard rewrite, boolean clauses, and the facet-count primitive
     # (the reference's >18s Hoxd* pain point, GxdResultHasImageIndexer)
     t0 = time.monotonic()

@@ -690,10 +690,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         )
         tmp = f"{index_dir}/.{art}_compact_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        # sort by the query-pushed keys inside each shard file so
+        # parquet row-group min/max stats prune the term_id IN-list
+        # scans (a query then reads only the row groups holding its
+        # terms, not the whole shard file).
+        sort_keys = (
+            ["shard", "field", "term_id"]
+            if art == "postings"
+            else ["shard"]
+        )
         (
             spark.read.parquet(src)
             .repartition("shard")
-            .sortWithinPartitions("shard")
+            .sortWithinPartitions(*sort_keys)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 0)
             .partitionBy("shard")

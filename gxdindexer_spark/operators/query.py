@@ -44,13 +44,15 @@ class IndexQueryEngine:
         self,
         spark: SparkSession,
         index_dir: str,
-        preload_dictionary: int = 5_000_000,
+        preload_dictionary: int = 1_000_000,
     ):
         """``preload_dictionary``: if the dictionary has fewer rows than
         this, collect it into a driver dict once (the reference's
         broadcast HashMap cache, Indexer.java:280-321) so per-query term
         lookup costs no Spark job. Bigger dictionaries fall back to a
-        pruned parquet scan per query. Set 0 to disable."""
+        pruned parquet scan per query (term IN-list / prefix range
+        pushed to the scan), which is the 10^9-term path — the cap
+        bounds driver memory to ~100 MB. Set 0 to disable."""
         self.spark = spark
         self.index_dir = index_dir
         # replay any compaction swap interrupted mid-rename (cheap:

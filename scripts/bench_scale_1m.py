@@ -1,0 +1,92 @@
+"""1M-doc scale point (third row of the scaling curve).
+
+Builds the index over 1,000,000 synthetic docs at local[32] and then
+measures query latency over the resulting index (p50/p99 across
+repeated wand queries). Establishes the throughput curve
+100k -> 1M for future rounds. Writes BENCH/scale_1m.json.
+
+Usage: python scripts/bench_scale_1m.py [n_docs] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gxdindexer_spark.operators.index_build import IndexBuilder  # noqa: E402
+from gxdindexer_spark.operators.query import IndexQueryEngine  # noqa: E402
+from gxdindexer_spark.session import get_spark  # noqa: E402
+from gxdindexer_spark.sources.synth import generate_corpus  # noqa: E402
+from gxdindexer_spark.sources.tables import prepare_docs  # noqa: E402
+
+QUERIES = [
+    "parseIndexList if",
+    "mergeShardStats byte_offset",
+    "the import scan",
+    "getIndexList return value",
+]
+REPS = 5
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH/scale_1m.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    partitions = 128
+    spark = get_spark(
+        app_name="scale-1m", master=f"local[{cpus}]",
+        shuffle_partitions=partitions,
+    )
+    idx = f"/tmp/gxdidx_1m_{n_docs}"
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = generate_corpus(spark, n_docs, seed=42, partitions=partitions)
+    docs = prepare_docs(
+        corpus, docs_per_shard=65_536, partitions=partitions
+    ).persist()
+    docs.count()  # materialize BEFORE the timed build
+    spark.range(10000).selectExpr("sum(id)").collect()  # warm workers
+    builder = IndexBuilder(docs_per_shard=65_536, salt_range=8192)
+    t0 = time.monotonic()
+    m = builder.build(docs, idx, resume=False)
+    wall = time.monotonic() - t0
+    eng = IndexQueryEngine(spark, idx)
+    lats = []
+    for _ in range(REPS):
+        for q in QUERIES:
+            tq = time.monotonic()
+            eng.topk(q, k=10, mode="wand").collect()
+            lats.append(time.monotonic() - tq)
+    lats.sort()
+    # no-op resume probe (the "is it up to date?" path)
+    t0 = time.monotonic()
+    builder.build(docs, idx, resume=True)
+    resume_sec = time.monotonic() - t0
+    result = {
+        "n_docs": m["n_docs"],
+        "n_postings": m["n_postings"],
+        "bytes_compressed": m["bytes_compressed"],
+        "partitions": partitions,
+        "cpus": int(cpus),
+        "build_wall_sec": round(wall, 3),
+        "docs_per_sec": round(m["n_docs"] / wall, 1),
+        "postings_per_sec": round(m["n_postings"] / wall, 1),
+        "query_p50_sec": round(lats[len(lats) // 2], 3),
+        "query_p99_sec": round(lats[max(int(len(lats) * 0.99) - 1, 0)], 3),
+        "query_min_sec": round(lats[0], 3),
+        "noop_resume_sec": round(resume_sec, 3),
+    }
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
