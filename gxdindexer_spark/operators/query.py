@@ -66,14 +66,19 @@ class IndexQueryEngine:
         cs = spark.read.parquet(f"{index_dir}/corpus_stats").collect()
         self.n_docs = {r["field"]: int(r["n_docs"]) for r in cs}
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+        # one relation per artifact, reused across queries: the parquet
+        # file index (directory listing + footer schema read) is built
+        # once per engine instead of once per query — at 10^6 shard
+        # dirs the per-query listing would dominate latency.
+        self._postings = spark.read.parquet(f"{index_dir}/postings")
+        self._dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self._dict_cache: dict[tuple[str, str], int] | None = None
         if preload_dictionary:
-            d = self.spark.read.parquet(f"{index_dir}/dictionary")
+            d = self._dictionary
             if d.count() <= preload_dictionary:
                 self._dict_cache = {
                     (r["field"], r["term"]): int(r["df"]) for r in d.collect()
                 }
-
         self.weights = {
             f: w for f, w in bm25.field_weights().items() if f in self.fields
         }
@@ -168,7 +173,7 @@ class IndexQueryEngine:
             return sorted(t for _df, t in cands)
         hi = prefix + chr(0x10FFFF)
         d = (
-            self.spark.read.parquet(f"{self.index_dir}/dictionary")
+            self._dictionary
             .filter(
                 (F.col("field") == field)
                 & (F.col("term") >= prefix)
@@ -190,7 +195,7 @@ class IndexQueryEngine:
         terms = sorted({t for _f, t in pairs})
         flds = sorted({f for f, _t in pairs})
         d = (
-            self.spark.read.parquet(f"{self.index_dir}/dictionary")
+            self._dictionary
             .filter(F.col("term").isin(terms) & F.col("field").isin(flds))
             .collect()
         )
@@ -283,7 +288,7 @@ class IndexQueryEngine:
         )
         tids = sorted({t for _f, t in keys})
         flds = sorted({f for f, _t in keys})
-        return self.spark.read.parquet(f"{self.index_dir}/postings").filter(
+        return self._postings.filter(
             F.col("term_id").isin(tids) & F.col("field").isin(flds)
         )
 
@@ -311,9 +316,7 @@ class IndexQueryEngine:
             sum(bm25.idf(self.n_docs[field], df) for df in dfs.values())
         )
         tids = [self._tid(t) for t in terms]
-        postings = self.spark.read.parquet(
-            f"{self.index_dir}/postings"
-        ).filter(
+        postings = self._postings.filter(
             F.col("term_id").isin(sorted(set(tids)))
             & (F.col("field") == field)
         )
