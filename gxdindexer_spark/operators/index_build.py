@@ -342,7 +342,24 @@ class IndexBuilder:
         Resumability (north_rule): per-shard lineage entries are written
         after the shard's artifacts commit; a re-run skips shards whose
         ledger entry matches the input fingerprint (SURVEY.md §4.4).
+
+        Single-writer: the whole mutate region holds the index's
+        writer lock (``_WriterLock``); a second live writer raises
+        ``ConcurrentWriteError``. Every content-changing build commits
+        a new ``snapshot_id`` (monotonic, with parent pointer and a
+        bounded history) in the manifest — the Iceberg snapshot-lineage
+        contract on plain parquet.
         """
+        os.makedirs(index_dir, exist_ok=True)
+        with _WriterLock(index_dir):
+            return self._build_locked(docs, index_dir, resume)
+
+    def _build_locked(
+        self,
+        docs: DataFrame,
+        index_dir: str,
+        resume: bool,
+    ) -> dict:
         spark = docs.sparkSession
         t0 = time.monotonic()
         trace = os.environ.get("GXDIDX_TRACE") == "1"
@@ -357,7 +374,6 @@ class IndexBuilder:
                 )
                 _last[0] = now
 
-        os.makedirs(index_dir, exist_ok=True)
         _recover_compaction(index_dir)
 
         # input fingerprint per shard: order-insensitive xor/sum over
@@ -478,6 +494,17 @@ class IndexBuilder:
         # at engine init (vs O(shards) file opens at the 10^6-shard
         # target). Skipped shards keep their prior entries; orphans
         # were dropped above.
+        # snapshot lineage: every content-changing commit gets a new
+        # monotonic snapshot_id with a parent pointer + bounded history
+        # (the Iceberg snapshot contract on plain parquet; a no-op
+        # resume re-asserts the current snapshot unchanged).
+        prev_manifest: dict = {}
+        if os.path.isfile(f"{index_dir}/manifest.json"):
+            with open(f"{index_dir}/manifest.json") as fh:
+                prev_manifest = json.load(fh)
+        prev_snap = int(prev_manifest.get("snapshot_id", 0))
+        snap = prev_snap + 1 if changed or not prev_snap else prev_snap
+
         built = self._shard_metrics(spark, index_dir, pending) if pending else {}
         mark("shard_metrics")
         entries = {s: e for s, e in done.items() if s in shard_fp}
@@ -491,6 +518,7 @@ class IndexBuilder:
                 "n_postings": m["n_postings"],
                 "bytes_compressed": m["bytes"],
                 "wall_ms": wall_ms,
+                "snapshot_id": snap,
                 # avgdl in force when this shard's block-max metadata
                 # was computed; the WAND path disables block pruning
                 # (falls back to exact TAAT) if global avgdl drifted.
@@ -507,7 +535,20 @@ class IndexBuilder:
             docs_per_sec=total_docs / max(wall_ms / 1000, 1e-9),
             postings_per_sec=total_postings / max(wall_ms / 1000, 1e-9),
         )
-        with open(f"{index_dir}/manifest.json", "w") as fh:
+        history = list(prev_manifest.get("snapshots", []))
+        if snap != prev_snap or not history:
+            history.append(
+                {
+                    "snapshot_id": snap,
+                    "parent_snapshot_id": prev_snap or None,
+                    "shards_built": len(pending),
+                    "orphans_removed": len(orphans),
+                    "wall_ms": wall_ms,
+                }
+            )
+            history = history[-20:]
+        manifest_tmp = f"{index_dir}/manifest.json.tmp"
+        with open(manifest_tmp, "w") as fh:
             json.dump(
                 {
                     "fields": self.fields,
@@ -516,12 +557,16 @@ class IndexBuilder:
                     "block_size": self.block_size,
                     "k1": self.k1,
                     "b": self.b,
+                    "snapshot_id": snap,
+                    "parent_snapshot_id": prev_snap or None,
+                    "snapshots": history,
                     "shard_fingerprints": shard_fp,
                     "metrics": metrics,
                 },
                 fh,
                 indent=2,
             )
+        os.replace(manifest_tmp, f"{index_dir}/manifest.json")
         return metrics
 
     def _finalize_stats(self, spark: SparkSession, index_dir: str) -> None:
@@ -604,6 +649,61 @@ class IndexBuilder:
         os.replace(tmp, path)  # atomic commit of the lineage record
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds this index's writer lock."""
+
+
+class _WriterLock:
+    """Single-writer guard for an index directory.
+
+    The Iceberg analog is optimistic snapshot commit; on a plain
+    filesystem we use an O_EXCL lock file holding the owner pid. A
+    lock whose pid is no longer alive (same-host check via /proc) is
+    stale and is stolen — a crashed build must not wedge the index.
+    Readers never take the lock: artifacts commit via atomic renames
+    and the manifest/ledger are replaced last, so a reader sees either
+    the old or the new snapshot, never a torn one.
+    """
+
+    def __init__(self, index_dir: str):
+        self.path = f"{index_dir}/_writer.lock"
+
+    @staticmethod
+    def _alive(pid: int) -> bool:
+        return os.path.exists(f"/proc/{pid}")
+
+    def __enter__(self) -> "_WriterLock":
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as fh:
+                        owner = json.load(fh)
+                    pid = int(owner.get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1
+                if pid > 0 and self._alive(pid) and pid != os.getpid():
+                    raise ConcurrentWriteError(
+                        f"index is being written by live pid {pid} "
+                        f"({self.path})"
+                    ) from None
+                # stale (crashed writer) or unreadable: steal it
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def read_ledger(index_dir: str) -> dict[int, dict]:
     """Consolidated ledger (single json) with fallback to the legacy
     per-shard ledger/ directory from pre-consolidation builds."""
@@ -674,8 +774,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     Content is unchanged (queries return identical results). The swap
     window is bracketed by a marker file and replayed by
     ``_recover_compaction`` on the next open, so a crash mid-swap
-    never strands the index without an artifact.
+    never strands the index without an artifact. Holds the writer
+    lock: compaction never races a build.
     """
+    with _WriterLock(index_dir):
+        return _compact_locked(spark, index_dir)
+
+
+def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     _recover_compaction(index_dir)
     stats: dict = {}
     for art in ("postings", "doc_stats", "dict_parts", "docs"):

@@ -607,3 +607,53 @@ def test_facet_counts_match_set_algebra(built, spark):
         if "if" in ts or any(t.startswith("merge") for t in ts):
             expect[langs[d]] = expect.get(langs[d], 0) + 1
     assert got == expect and got
+
+
+def test_writer_lock_and_snapshot_lineage(built, spark, tmpdir_idx):
+    """Single-writer guard: a live holder raises ConcurrentWriteError,
+    a stale (dead-pid) lock is stolen; every content-changing build
+    commits a new monotonic snapshot_id with a parent pointer."""
+    import json as _json
+
+    from gxdindexer_spark.operators.index_build import ConcurrentWriteError
+
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    builder.build(docs, tmpdir_idx, resume=True)
+    with open(f"{tmpdir_idx}/manifest.json") as fh:
+        m1 = _json.load(fh)
+    assert m1["snapshot_id"] == 1 and m1["parent_snapshot_id"] is None
+
+    # live lock (our own pid counts as another live writer holder)
+    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
+        _json.dump({"pid": os.getpid() + 0}, fh)
+    # a DIFFERENT live pid must block; use pid 1 (init, always alive)
+    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
+        _json.dump({"pid": 1}, fh)
+    with pytest.raises(ConcurrentWriteError):
+        builder.build(docs, tmpdir_idx, resume=True)
+    # stale lock (dead pid) is stolen and the build proceeds
+    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
+        _json.dump({"pid": 2**22 + 12345}, fh)
+    builder.build(docs, tmpdir_idx, resume=True)  # no-op resume
+    assert not os.path.exists(f"{tmpdir_idx}/_writer.lock")
+    with open(f"{tmpdir_idx}/manifest.json") as fh:
+        m2 = _json.load(fh)
+    # no-op resume re-asserts the same snapshot
+    assert m2["snapshot_id"] == 1
+
+    # content change -> new snapshot with parent pointer + ledger tag
+    sub = docs.filter(F.col("shard") < 2)
+    builder.build(sub, tmpdir_idx, resume=True)
+    with open(f"{tmpdir_idx}/manifest.json") as fh:
+        m3 = _json.load(fh)
+    assert m3["snapshot_id"] == 2 and m3["parent_snapshot_id"] == 1
+    assert [s["snapshot_id"] for s in m3["snapshots"]] == [1, 2]
+    assert m3["snapshots"][-1]["orphans_removed"] == 2
+    from gxdindexer_spark.operators.index_build import read_ledger
+
+    # surviving shards were BUILT under snapshot 1 and skipped since —
+    # their lineage keeps the producing snapshot
+    assert all(
+        e["snapshot_id"] == 1 for e in read_ledger(tmpdir_idx).values()
+    )
