@@ -570,6 +570,18 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     )
 
 
+def neardup_components_q(spark, sf_dir):
+    """Canonical near-dup clusters: connected components over the
+    MinHash-LSH candidate pair graph (min-id label propagation);
+    the dedup keep-rule is then doc_id == component_id."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, n=3
+    )
+    ids = d.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return dedup.neardup_components(ids, pairs)
+
+
 def ann_cosine_topk_q(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = [
@@ -715,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": simhash16_q,
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_lsh_pairs": minhash_lsh_pairs_q,
+        "neardup_components": neardup_components_q,
         "ann_cosine_topk": ann_cosine_topk_q,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
@@ -1333,6 +1346,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (na + nb - inter), 6) >= 0.12
         """,
         "minhash_lsh_pairs": _minhash_lsh_sql(8, 4),
+        "neardup_components": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_sql(8, 4)}),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(lbl)::BIGINT AS component_id
+            FROM reach GROUP BY node
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0),

@@ -221,3 +221,53 @@ def simhash(
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def neardup_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> canonical
+    cluster ids: (doc_id, component_id) where component_id = min doc_id
+    reachable through the pairs. The dedup KEEP rule "keep the lowest
+    id of every near-dup cluster" is then a filter on
+    ``doc_id == component_id``.
+
+    Algorithm: iterative min-label propagation over symmetric edges —
+    each round every node takes the min label among itself and its
+    neighbors; converges in <= graph-diameter rounds. Near-dup
+    clusters are small and star-like (diameter ~2-4), so this runs a
+    handful of rounds; for adversarial long-chain graphs swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", public) — same interface.
+    Convergence is detected by the (monotonically decreasing) sum of
+    labels; each round localCheckpoints to cut the lineage chain.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "component_id")
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(id_col), "component_id")

@@ -347,3 +347,32 @@ def test_ivf_topk_finds_self_and_overlaps_exact(spark):
         ).collect()
     ]
     assert allp == exact
+
+
+def test_neardup_components_chains_and_singletons(spark):
+    """Connected components over the pair graph: chains collapse to
+    their min id, singletons map to themselves; multi-hop chains need
+    several propagation rounds."""
+    from gxdindexer_spark.operators import dedup
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(20,), (21,), (22,), (23,), (24,)],
+        "doc_id long",
+    )
+    pairs = spark.createDataFrame(
+        # triangle {1,2,3}, pair {5,6}, 5-hop chain 20-24
+        [(1, 2), (2, 3), (1, 3), (5, 6),
+         (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.neardup_components(ids, pairs).collect()
+    }
+    expect = {i: i for i in (0, 4, 7, 8, 9)}
+    expect.update({1: 1, 2: 1, 3: 1, 5: 5, 6: 5})
+    expect.update({n: 20 for n in (20, 21, 22, 23, 24)})
+    assert got == expect
+    # keep-rule: canonical docs are exactly the component minima
+    keep = sorted(d for d, c in got.items() if d == c)
+    assert keep == [0, 1, 4, 5, 7, 8, 9, 20]
