@@ -124,6 +124,24 @@ def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+BATCH_QUERIES = {
+    "q_a": BM25_QUERY,
+    "q_b": "window stream batch",
+    "q_c": "customer query filter merge",
+}
+
+
+def bm25_topk_batch(spark, sf_dir):
+    """Batched retrieval: one postings scan serves all three queries
+    (query.topk_many); top-10 each."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk_many(BATCH_QUERIES, k=10)
+    return hits.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sharded index build + block-max WAND BM25 top-k."""
     return _bm25_index(spark, "/root/testdata/sf0.001", "wand")
@@ -713,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean": bm25_boolean,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_sloppy": bm25_phrase_sloppy,
+        "bm25_topk_batch": bm25_topk_batch,
         "match_count_or": match_count_or,
         "facet_counts": facet_counts_q,
         "cast_equi_join": cast_equi_join,
@@ -1194,6 +1213,11 @@ def oracle_sql() -> dict[str, str]:
                 "AND doc_id NOT IN "
                 "(SELECT doc_id FROM tf WHERE term = 'merge')"
             ),
+        ),
+        "bm25_topk_batch": " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, * FROM "
+            f"({_bm25_sql(_in_list(q.split()), k=10)})"
+            for qid, q in BATCH_QUERIES.items()
         ),
         "match_count_or": f"""
             {_TOKS_CTE}

@@ -657,3 +657,26 @@ def test_writer_lock_and_snapshot_lineage(built, spark, tmpdir_idx):
     assert all(
         e["snapshot_id"] == 1 for e in read_ledger(tmpdir_idx).values()
     )
+
+
+def test_topk_many_equals_per_query(built, spark):
+    """Batched retrieval returns exactly the per-query results (incl.
+    a boolean query, which falls back to exact TAAT inside the same
+    batch)."""
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    queries = {
+        "a": QUERIES[0],
+        "b": QUERIES[1],
+        "c": "+if -return import",
+    }
+    batch = eng.topk_many(queries, k=8).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(by_q) == set(queries)
+    for qid, q in queries.items():
+        single = [(r["doc_id"], r["score"]) for r in eng.topk(q, k=8).collect()]
+        assert [d for d, _s in by_q[qid]] == [d for d, _s in single]
+        for (_, sa), (_, sb) in zip(by_q[qid], single):
+            assert sa == pytest.approx(sb, rel=1e-12)
