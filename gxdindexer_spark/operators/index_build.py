@@ -335,8 +335,16 @@ class IndexBuilder:
         docs: DataFrame,
         index_dir: str,
         resume: bool = True,
+        append: bool = False,
     ) -> dict:
         """Build (or resume) the index for ``docs`` into ``index_dir``.
+
+        ``append=True`` treats ``docs`` as a DELTA (e.g. one streaming
+        micro-batch): shards absent from it are left untouched instead
+        of being deleted as orphans. Shards PRESENT in the delta are
+        upserted whole, so deltas must arrive in complete docID-range
+        units. Fingerprints make replayed deltas no-ops (exactly-once
+        commits over at-least-once delivery).
 
         Returns a metrics dict (docs/sec, postings/sec, bytes).
         Resumability (north_rule): per-shard lineage entries are written
@@ -352,13 +360,14 @@ class IndexBuilder:
         """
         os.makedirs(index_dir, exist_ok=True)
         with _WriterLock(index_dir):
-            return self._build_locked(docs, index_dir, resume)
+            return self._build_locked(docs, index_dir, resume, append)
 
     def _build_locked(
         self,
         docs: DataFrame,
         index_dir: str,
         resume: bool,
+        append: bool = False,
     ) -> dict:
         spark = docs.sparkSession
         t0 = time.monotonic()
@@ -398,7 +407,11 @@ class IndexBuilder:
         # orphaned shards: present in artifacts/ledger but absent from
         # the input (shrunk or re-sharded corpus). Left in place they
         # would keep feeding dictionary df / avgdl / query results.
-        orphans = (set(done) | _artifact_shards(index_dir)) - set(shard_fp)
+        orphans = (
+            set()
+            if append
+            else (set(done) | _artifact_shards(index_dir)) - set(shard_fp)
+        )
         for s in sorted(orphans):
             for art in ("docs", "doc_stats", "dict_parts", "postings"):
                 shutil.rmtree(
@@ -507,7 +520,11 @@ class IndexBuilder:
 
         built = self._shard_metrics(spark, index_dir, pending) if pending else {}
         mark("shard_metrics")
-        entries = {s: e for s, e in done.items() if s in shard_fp}
+        # append mode keeps every untouched shard's entry; full mode
+        # keeps only shards present in the input (orphans dropped)
+        entries = {
+            s: e for s, e in done.items() if append or s in shard_fp
+        }
         for s in pending:
             m = built.get(s, {"n_docs": 0, "n_postings": 0, "bytes": 0})
             entries[s] = {
@@ -560,7 +577,10 @@ class IndexBuilder:
                     "snapshot_id": snap,
                     "parent_snapshot_id": prev_snap or None,
                     "snapshots": history,
-                    "shard_fingerprints": shard_fp,
+                    # full map incl. shards untouched by an append delta
+                    "shard_fingerprints": {
+                        s: e["input_fingerprint"] for s, e in entries.items()
+                    },
                     "metrics": metrics,
                 },
                 fh,
