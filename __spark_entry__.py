@@ -142,6 +142,18 @@ def bm25_topk_batch(spark, sf_dir):
     )
 
 
+def bm25_topk_hydrated(spark, sf_dir):
+    """Serving-path point lookup: top-k hits hydrated with stored doc
+    content via a partition-pruned doc-store scan (shard IN-list from
+    doc_id // docs_per_shard)."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    out = eng.fetch_topk(BM25_QUERY, k=10, columns=("content",))
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "content"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sharded index build + block-max WAND BM25 top-k."""
     return _bm25_index(spark, "/root/testdata/sf0.001", "wand")
@@ -732,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_sloppy": bm25_phrase_sloppy,
         "bm25_topk_batch": bm25_topk_batch,
+        "bm25_topk_hydrated": bm25_topk_hydrated,
         "match_count_or": match_count_or,
         "facet_counts": facet_counts_q,
         "cast_equi_join": cast_equi_join,
@@ -1214,6 +1227,11 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT doc_id FROM tf WHERE term = 'merge')"
             ),
         ),
+        "bm25_topk_hydrated": f"""
+            SELECT s.doc_id, s.score, d.text AS content
+            FROM ({_bm25_sql(_in_list(BM25_TERMS), k=10)}) s
+            JOIN documents d USING (doc_id)
+        """,
         "bm25_topk_batch": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM "
             f"({_bm25_sql(_in_list(q.split()), k=10)})"

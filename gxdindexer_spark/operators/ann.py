@@ -51,6 +51,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     resume: bool = True,
+    kmeans_iters: int = 0,
 ) -> dict:
     """Build (or resume) the persisted ANN artifacts for ``emb``.
 
@@ -81,6 +82,7 @@ def build_ann_index(
             meta.get("fingerprint") == fingerprint
             and meta.get("n_planes") == n_planes
             and meta.get("n_centroids") == n_centroids
+            and meta.get("kmeans_iters", 0) == kmeans_iters
         ):
             return meta
 
@@ -95,7 +97,16 @@ def build_ann_index(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/lsh")
     )
-    centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
+    if kmeans_iters > 0:
+        from gxdindexer_spark.operators.similarity import (
+            train_centroids_kmeans,
+        )
+
+        centroids = train_centroids_kmeans(
+            emb, n_centroids, kmeans_iters, id_col, vec_col
+        )
+    else:
+        centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
     (
         ivf_assign(emb, centroids, id_col, vec_col)
         .write.mode("overwrite")
@@ -108,6 +119,7 @@ def build_ann_index(
         "dim": dim,
         "n_planes": n_planes,
         "n_centroids": n_centroids,
+        "kmeans_iters": kmeans_iters,
         "planes": planes,
         "centroids": centroids,
     }

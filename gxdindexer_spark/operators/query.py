@@ -413,6 +413,49 @@ class IndexQueryEngine:
             .drop("_rn")
         )
 
+    def fetch_topk(
+        self,
+        query: str,
+        k: int = 10,
+        fields: list[str] | None = None,
+        mode: str = "wand",
+        columns: tuple[str, ...] = ("content",),
+    ) -> DataFrame:
+        """Top-k hits HYDRATED with stored document columns — the
+        serving path's point lookup. The k hit ids are known at plan
+        time (k rows on the driver), so the doc-store read is a
+        partition-pruned scan: shard = doc_id // docs_per_shard from
+        the manifest, pushed as a literal shard IN-list, with the
+        doc_id IN-list pruning row groups inside each shard file.
+        -> (doc_id, score, *columns), score-desc order preserved.
+        """
+        hits = self.topk(query, k, fields, mode).collect()
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        if not hits:
+            return self.spark.createDataFrame([], out_schema)
+        dps = int(self.manifest.get("docs_per_shard") or 1)
+        ids = [int(r["doc_id"]) for r in hits]
+        shards = sorted({i // dps for i in ids})
+        store = (
+            self.spark.read.parquet(f"{self.index_dir}/docs")
+            .filter(
+                F.col("shard").isin(shards) & F.col("doc_id").isin(ids)
+            )
+            .select("doc_id", *columns)
+        )
+        hits_df = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            out_schema,
+        )
+        return hits_df.join(F.broadcast(store), "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
     def matching_docs(
         self, query: str, fields: list[str] | None = None
     ) -> DataFrame:

@@ -187,6 +187,61 @@ def sample_centroids(
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def train_centroids_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) training for the IVF coarse quantizer.
+
+    init = deterministic strided sample; assign = nearest centroid by
+    cosine (``ivf_assign``: numpy matmul per Arrow batch); update =
+    per-cluster mean renormalized to unit length (spherical k-means —
+    cosine distortion is non-increasing per round). The update is a
+    JVM-side posexplode + two-level sum/count agg whose result is
+    k x dim rows (tiny driver collect); empty clusters keep their
+    previous centroid. Scales: every pass is one corpus scan, driver
+    state is k x dim floats.
+    """
+    import numpy as np
+
+    cents = [list(c) for c in sample_centroids(emb, n_centroids, id_col, vec_col)]
+    base = emb.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    for _ in range(max(iters, 0)):
+        assigned = ivf_assign(base, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "ivf_bucket",
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos", "v"),
+            )
+            .groupBy("ivf_bucket", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        dim = len(cents[0])
+        sums = {}
+        for r in rows:
+            sums.setdefault(int(r["ivf_bucket"]), np.zeros(dim))[
+                int(r["pos"])
+            ] = float(r["s"]) / float(r["n"])
+        new = []
+        for ci, old in enumerate(cents):
+            m = sums.get(ci)
+            if m is None:
+                new.append(old)  # empty cluster keeps its centroid
+                continue
+            norm = float(np.linalg.norm(m))
+            new.append((m / norm).tolist() if norm > 0 else old)
+        cents = new
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -157,3 +157,64 @@ def test_build_resume_skips_unchanged_input(spark, built, emb):
     )
     assert rebuilt["n_planes"] == N_PLANES - 1
     assert len(ann.AnnIndex(spark, d).planes) == N_PLANES - 1
+
+
+def test_kmeans_training_reduces_quantization_distortion(spark, emb):
+    """Spherical k-means: cosine distortion (1 - cos to the assigned
+    centroid) is non-increasing vs the strided init, and recall@10 of
+    the trained IVF stays useful."""
+    import numpy as np
+
+    V = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def distortion(cents):
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float(np.mean(1.0 - (Vn @ Cn.T).max(axis=1)))
+
+    c0 = similarity.sample_centroids(emb, N_CENTROIDS)
+    c4 = similarity.train_centroids_kmeans(emb, N_CENTROIDS, iters=4)
+    assert distortion(c4) <= distortion(c0) + 1e-12
+
+    # trained IVF end-to-end: recall@10 vs exact brute force
+    qvec = [float(x) for x in V[0]]
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, qvec, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, qvec, k=10, nprobe=3, centroids=c4
+        ).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.5
+
+
+def test_build_ann_index_with_kmeans(spark, emb, tmp_path):
+    d = str(tmp_path / "annk")
+    meta = ann.build_ann_index(
+        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS,
+        kmeans_iters=3, resume=False,
+    )
+    assert meta["kmeans_iters"] == 3
+    idx = ann.AnnIndex(spark, d)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").first()[0]
+    ]
+    got = idx.ivf_topk(qvec, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    # resume honors the kmeans param
+    again = ann.build_ann_index(
+        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS,
+        kmeans_iters=3, resume=True,
+    )
+    assert again == meta

@@ -680,3 +680,28 @@ def test_topk_many_equals_per_query(built, spark):
         assert [d for d, _s in by_q[qid]] == [d for d, _s in single]
         for (_, sa), (_, sb) in zip(by_q[qid], single):
             assert sa == pytest.approx(sb, rel=1e-12)
+
+
+def test_fetch_topk_hydrates_with_pruned_store_scan(built, spark):
+    """fetch_topk returns hits + stored columns in rank order, and the
+    doc-store read is partition-pruned to the hit shards."""
+    import contextlib
+    import io
+
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    q = QUERIES[0]
+    out = eng.fetch_topk(q, k=6, columns=("content", "path"))
+    rows = out.collect()
+    plain = eng.topk(q, k=6).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in plain]
+    content = dict(zip(pdocs["doc_id"], pdocs["content"]))
+    assert all(r["content"] == content[r["doc_id"]] for r in rows)
+    # the store scan carries a literal shard IN-list partition filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pf = [
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("shard" in ln and " IN " in ln for ln in pf)
