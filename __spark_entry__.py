@@ -481,6 +481,54 @@ def conditional_prepend(spark, sf_dir):
     )
 
 
+def rollup_order_totals(spark, sf_dir):
+    """Hierarchical subtotal rollup (status -> status+priority -> grand
+    total) — one pass, GROUPING SETS under the hood."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def percentiles_by_type(spark, sf_dir):
+    """Exact percentiles per group (p50/p95 of event value) — the
+    distribution-profiling agg; Spark's exact percentile matches
+    DuckDB's quantile_cont (linear interpolation)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: one row per user-bucket, one count column per event
+    type (join-to-map inversion as columns)."""
+    e = _t(spark, sf_dir, "events")
+    types = [
+        r["event_type"]
+        for r in e.select("event_type").distinct().collect()
+    ]
+    return (
+        e.withColumn("bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("bucket")
+        .pivot("event_type", sorted(types))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def tokenize_tf_top50(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -735,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_closure": dag_closure,
         "windowed_events_hourly": windowed_events_hourly,
         "sessionization": sessionization,
+        "rollup_order_totals": rollup_order_totals,
+        "percentiles_by_type": percentiles_by_type,
+        "pivot_event_counts": pivot_event_counts,
         "tokenize_tf_top50": tokenize_tf_top50,
         "bm25_brute": bm25_brute,
         "bm25_index_taat": bm25_index_taat,
@@ -1207,6 +1258,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    (max(us) - min(us))::BIGINT AS duration_us
             FROM s GROUP BY user_id, session_no
+        """,
+        "rollup_order_totals": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "percentiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(avg(value), 6) AS mean
+            FROM events GROUP BY event_type
+        """,
+        "pivot_event_counts": """
+            SELECT (user_id % 10)::BIGINT AS bucket,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS click,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                     AS purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS view
+            FROM events GROUP BY 1
         """,
         "tokenize_tf_top50": f"""
             {_TOKS_CTE}

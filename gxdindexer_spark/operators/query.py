@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -502,6 +503,80 @@ class IndexQueryEngine:
             m.join(facets_df.select("doc_id", by), "doc_id")
             .groupBy(by)
             .agg(F.count("*").alias("n_docs"))
+        )
+
+    def highlight_topk(
+        self,
+        query: str,
+        k: int = 10,
+        field: str = "content",
+        window: int = 16,
+        mode: str = "wand",
+    ) -> DataFrame:
+        """Top-k + best highlight window per hit — the Solr `hl=true`
+        analog the reference's front-end relies on, served from the
+        positional index (no stored-text scan): for each hit, the
+        ``window``-token span containing the most query-term
+        occurrences (earliest on ties).
+        -> (doc_id, score, start_pos, end_pos, n_hits)."""
+        if not self.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions "
+                "(IndexBuilder(with_positions=True))"
+            )
+        hits = self.topk(query, k, fields=[field], mode=mode).collect()
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+                T.StructField("start_pos", T.IntegerType(), False),
+                T.StructField("end_pos", T.IntegerType(), False),
+                T.StructField("n_hits", T.IntegerType(), False),
+            ]
+        )
+        if not hits:
+            return self.spark.createDataFrame([], out_schema)
+        terms = analyze.tokenize_query(query, self.fields[field])
+        tids = [self._tid(t) for t in terms]
+        ids = np.array([int(r["doc_id"]) for r in hits], dtype=np.int64)
+        scores = {int(r["doc_id"]): float(r["score"]) for r in hits}
+        dps = int(self.manifest.get("docs_per_shard") or 1)
+        shards = sorted({int(i) // dps for i in ids})
+        postings = self._postings.filter(
+            F.col("term_id").isin(sorted(set(tids)))
+            & (F.col("field") == field)
+            & F.col("shard").isin(shards)
+        )
+        b_ids = self.spark.sparkContext.broadcast(ids)
+
+        def shard_hl(pg: pd.DataFrame) -> pd.DataFrame:
+            rows = wand_mod.best_window_shard(
+                pg, tids, field, b_ids.value, window
+            )
+            return pd.DataFrame(
+                rows, columns=["doc_id", "start_pos", "end_pos", "n_hits"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "start_pos": "int32",
+                    "end_pos": "int32",
+                    "n_hits": "int32",
+                }
+            )
+
+        hl_schema = T.StructType(
+            [f for f in out_schema.fields if f.name != "score"]
+        )
+        hl = postings.groupBy("shard").applyInPandas(
+            shard_hl, schema=hl_schema
+        )
+        sdf = self.spark.createDataFrame(
+            [(d, s) for d, s in scores.items()], ["doc_id", "score"]
+        )
+        return (
+            hl.join(F.broadcast(sdf), "doc_id")
+            .select("doc_id", "score", "start_pos", "end_pos", "n_hits")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
     def count_matches(

@@ -234,6 +234,50 @@ def phrase_topk_shard(
     )
 
 
+def best_window_shard(
+    postings: pd.DataFrame,
+    tids: list[int],
+    field: str,
+    doc_ids: np.ndarray,
+    window: int,
+) -> list[tuple[int, int, int, int]]:
+    """Best highlight window per requested doc: the ``window``-token
+    span holding the most query-term occurrences (earliest such span
+    on ties) — the Solr/Lucene highlighter's passage-selection core,
+    computed from the positional index without touching stored text.
+    -> [(doc_id, start_pos, end_pos, n_hits)], only docs present.
+    Two-pointer sweep over each doc's merged term positions.
+    """
+    want = set(int(d) for d in doc_ids)
+    tid_set = set(tids)
+    per_doc: dict[int, list[np.ndarray]] = {}
+    for r in postings.itertuples():
+        if r.field != field or int(r.term_id) not in tid_set:
+            continue
+        pl = posting_list_from_row(str(r.term_id), r._asdict())
+        docs, _tfs, _dls = pl.decode_all()
+        hits_idx = np.flatnonzero(np.isin(docs, np.fromiter(want, np.int64)))
+        if not hits_idx.size:
+            continue
+        pos = pl.decode_all_positions()
+        for i in hits_idx:
+            per_doc.setdefault(int(docs[i]), []).append(pos[i])
+    out = []
+    for doc, plists in per_doc.items():
+        merged = np.sort(np.concatenate(plists))
+        # two-pointer: for each right index, shrink left until span fits
+        best = (1, int(merged[0]), int(merged[0]))
+        lo = 0
+        for hi in range(merged.size):
+            while merged[hi] - merged[lo] >= window:
+                lo += 1
+            n = hi - lo + 1
+            if n > best[0]:
+                best = (n, int(merged[lo]), int(merged[hi]))
+        out.append((doc, best[1], best[2], best[0]))
+    return out
+
+
 def match_docs(postings: pd.DataFrame, spec: QuerySpec) -> np.ndarray:
     """Distinct doc ids matching ANY scoring term (OR semantics), with
     boolean clauses applied — the facet/count primitive behind the

@@ -705,3 +705,43 @@ def test_fetch_topk_hydrates_with_pruned_store_scan(built, spark):
         ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
     ]
     assert any("shard" in ln and " IN " in ln for ln in pf)
+
+
+def test_highlight_topk_matches_python_oracle(spark, tmp_path):
+    """Highlighting (Solr hl analog): per hit, the window-token span
+    with the most query-term occurrences, earliest on ties — verified
+    against a brute-force python sweep over token positions."""
+    idx = str(tmp_path / "hidx")
+    corpus = generate_corpus(spark, 150, seed=43, partitions=4)
+    docs = prepare_docs(corpus, docs_per_shard=60, partitions=4).cache()
+    IndexBuilder(
+        docs_per_shard=60, salt_range=64, block_size=16, with_positions=True
+    ).build(docs, idx, resume=False)
+    pdocs = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    eng = IndexQueryEngine(spark, idx)
+    q, window = "if return import", 12
+    got = eng.highlight_topk(q, k=8, field="content", window=window).collect()
+    assert got
+    plain = eng.topk(q, k=8, fields=["content"]).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in plain]
+
+    terms = set(analyze.tokenize_query(q, "code"))
+    pos_of = {}
+    for r in pdocs.itertuples():
+        pairs = analyze.tokens_with_positions(
+            pd.Series([r.content]), "code"
+        ).iloc[0]
+        pos_of[int(r.doc_id)] = sorted(
+            {p for t, p in pairs if t in terms}
+        )
+    for r in got:
+        merged = pos_of[r["doc_id"]]
+        best = (1, merged[0], merged[0])
+        lo = 0
+        for hi in range(len(merged)):
+            while merged[hi] - merged[lo] >= window:
+                lo += 1
+            n = hi - lo + 1
+            if n > best[0]:
+                best = (n, merged[lo], merged[hi])
+        assert (r["n_hits"], r["start_pos"], r["end_pos"]) == best
