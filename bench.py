@@ -90,17 +90,21 @@ def main() -> int:
     # noisy-neighbor interference; p50 over the per-query mins.
     eng.topk(BM25_QUERIES[0], k=20, mode="taat").collect()
     mode_lat: dict[str, dict[str, float]] = {
-        m: {} for m in ("wand", "taat")
+        m: {} for m in ("wand", "taat", "auto")
     }
     for rep in range(3):
         for q in BM25_QUERIES:
-            order = ("wand", "taat") if rep % 2 == 0 else ("taat", "wand")
+            order = (
+                ("wand", "taat", "auto")
+                if rep % 2 == 0
+                else ("auto", "taat", "wand")
+            )
             for m in order:
                 t0 = time.monotonic()
                 eng.topk(q, k=20, mode=m).collect()
                 dt = time.monotonic() - t0
                 mode_lat[m][q] = min(mode_lat[m].get(q, dt), dt)
-    for mode in ("wand", "taat"):
+    for mode in ("wand", "taat", "auto"):
         lats = sorted(mode_lat[mode].values())
         timings[f"bm25_{mode}_p50"] = round(lats[len(lats) // 2], 3)
         timings[f"bm25_{mode}_max"] = round(lats[-1], 3)

@@ -247,6 +247,20 @@ class IndexQueryEngine:
 
     # ----------------------------------------------------------- execute
 
+    def choose_mode(self, spec) -> str:
+        """Stats-driven TAAT/WAND planner (``mode="auto"``): pruning
+        only pays when the top term's weight dominates — a long tail of
+        near-equal common terms leaves every list essential and the
+        pruned path degenerates to TAAT plus bookkeeping. Heuristic on
+        driver-side stats alone (weights = field-boosted idfs, the
+        upper-bound proxy): prune iff the heaviest term outweighs the
+        sum of the rest (then low-weight lists can land non-essential
+        once theta locks in)."""
+        ws = sorted(spec.term_weights.values(), reverse=True)
+        if len(ws) <= 1:
+            return "taat"
+        return "wand" if ws[0] > sum(ws[1:]) else "taat"
+
     def topk(
         self,
         query: str,
@@ -254,10 +268,15 @@ class IndexQueryEngine:
         fields: list[str] | None = None,
         mode: str = "wand",
     ) -> DataFrame:
-        """-> DataFrame(doc_id, score) of global top-k, deterministic."""
+        """-> DataFrame(doc_id, score) of global top-k, deterministic.
+        ``mode``: "wand" (block-max pruned), "taat" (exact full scan),
+        or "auto" (stats-driven choice, ``choose_mode``) — all three
+        rank-identical."""
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
             return self.spark.createDataFrame([], _HITS_SCHEMA)
+        if mode == "auto":
+            mode = self.choose_mode(spec)
         postings = self._postings_for(spec)
         b_spec = self.spark.sparkContext.broadcast(spec)
         # boolean clauses need the full candidate doc sets -> exact TAAT

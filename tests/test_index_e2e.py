@@ -745,3 +745,35 @@ def test_highlight_topk_matches_python_oracle(spark, tmp_path):
             if n > best[0]:
                 best = (n, merged[lo], merged[hi])
         assert (r["n_hits"], r["start_pos"], r["end_pos"]) == best
+
+
+def test_auto_mode_planner(built, spark):
+    """mode="auto": uniform common terms -> taat; one dominant rare
+    term -> wand; results identical to both explicit modes either way."""
+    from gxdindexer_spark.operators.wand import QuerySpec
+
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    uniform = QuerySpec(
+        term_weights={("content", i): 1.0 for i in range(4)},
+        avgdl={"content": 10.0},
+    )
+    assert eng.choose_mode(uniform) == "taat"
+    skewed = QuerySpec(
+        term_weights={("content", 1): 5.0, ("content", 2): 1.0},
+        avgdl={"content": 10.0},
+    )
+    assert eng.choose_mode(skewed) == "wand"
+    # real corpus: a dominant rare term plans to wand
+    assert (
+        eng.choose_mode(
+            eng.make_spec("mergeShardStats the", fields=["content"])
+        )
+        == "wand"
+    )
+    for q in ("if return the import", "mergeShardStats the"):
+        auto = eng.topk(q, k=8, fields=["content"], mode="auto").collect()
+        wand = eng.topk(q, k=8, fields=["content"], mode="wand").collect()
+        assert [r["doc_id"] for r in auto] == [r["doc_id"] for r in wand]
+        for x, y in zip(auto, wand):
+            assert x["score"] == pytest.approx(y["score"], rel=1e-12)
