@@ -108,6 +108,13 @@ def main() -> int:
         lats = sorted(mode_lat[mode].values())
         timings[f"bm25_{mode}_p50"] = round(lats[len(lats) // 2], 3)
         timings[f"bm25_{mode}_max"] = round(lats[-1], 3)
+    # batched retrieval: all three queries in ONE scan+scatter-gather
+    # (vs ~3x the single-query cost when issued separately)
+    t0 = time.monotonic()
+    eng.topk_many(
+        {f"q{i}": q for i, q in enumerate(BM25_QUERIES)}, k=20
+    ).collect()
+    timings["bm25_batch3"] = round(time.monotonic() - t0, 3)
     # wildcard rewrite, boolean clauses, and the facet-count primitive
     # (the reference's >18s Hoxd* pain point, GxdResultHasImageIndexer)
     t0 = time.monotonic()
