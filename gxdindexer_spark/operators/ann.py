@@ -131,6 +131,55 @@ def build_ann_index(
     return meta
 
 
+def append_ann_index(
+    emb_delta: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to an existing ANN index.
+
+    The delta is quantized with the index's EXISTING planes/centroids
+    (from meta.json) and appended to the bucket partitions — one delta
+    scan + partitioned append, no rebuild of prior data. LSH buckets
+    are exact forever (planes are input-independent); IVF cells drift
+    from the training distribution as the corpus grows — retrain
+    centroids (rebuild with kmeans_iters>0) periodically, like any IVF
+    system. meta.json's fingerprint/count update LAST (commit point).
+    """
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    planes = meta["planes"]
+    centroids = meta["centroids"]
+    row = emb_delta.agg(
+        F.count("*").alias("n"), F.sum(F.col(id_col)).alias("s")
+    ).first()
+    (
+        emb_delta.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/lsh")
+    )
+    (
+        ivf_assign(emb_delta, centroids, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("ivf_bucket")
+        .parquet(f"{index_dir}/ivf")
+    )
+    old_n, old_s = meta["fingerprint"].split(":")
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(row["n"])
+    meta["fingerprint"] = f"{int(old_n) + int(row['n'])}:{int(old_s) + int(row['s'])}"
+    tmp = f"{index_dir}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{index_dir}/meta.json")
+    return meta
+
+
 class AnnIndex:
     """Query engine over the persisted ANN artifacts.
 

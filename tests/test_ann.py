@@ -218,3 +218,41 @@ def test_build_ann_index_with_kmeans(spark, emb, tmp_path):
         kmeans_iters=3, resume=True,
     )
     assert again == meta
+
+
+def test_append_ann_index_matches_full_build(spark, emb, tmp_path):
+    """Build on half the vectors, append the rest: LSH queries equal a
+    full build (planes are input-independent); IVF candidates equal
+    inline assignment with the index's centroids; the combined
+    fingerprint now matches a full-input resume probe."""
+    d = str(tmp_path / "annapp")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    meta1 = ann.build_ann_index(
+        half1, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    meta2 = ann.append_ann_index(half2, d)
+    assert meta2["n_vectors"] == emb.count()
+    idx = ann.AnnIndex(spark, d)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").first()[0]
+    ]
+    # LSH: identical to the inline operator over the FULL corpus
+    got = idx.lsh_topk(qvec, k=10, probes=3).collect()
+    expect = similarity.lsh_bucket_topk(
+        emb, qvec, k=10, n_planes=N_PLANES, probes=3
+    ).collect()
+    assert got == expect
+    # IVF: identical to inline assignment with the index's centroids
+    got_ivf = idx.ivf_topk(qvec, k=10, nprobe=3).collect()
+    expect_ivf = similarity.ivf_topk(
+        emb, qvec, k=10, nprobe=3, centroids=meta1["centroids"]
+    ).collect()
+    assert got_ivf == expect_ivf
+    # a full-input resume probe sees the combined fingerprint as done
+    again = ann.build_ann_index(
+        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=True
+    )
+    assert again["fingerprint"] == meta2["fingerprint"]

@@ -777,3 +777,20 @@ def test_auto_mode_planner(built, spark):
         assert [r["doc_id"] for r in auto] == [r["doc_id"] for r in wand]
         for x, y in zip(auto, wand):
             assert x["score"] == pytest.approx(y["score"], rel=1e-12)
+
+
+def test_facet_counts_plan_prunes_columns(built, spark):
+    """The facet attribute scan must read ONLY (doc_id, facet col) —
+    a facet query over a wide doc table must not drag every column
+    through the join."""
+    from gxdindexer_spark.plans import explain
+
+    idx, docs, _pdocs, _m = built
+    facets = docs.select("doc_id", "lang")
+    out = IndexQueryEngine(spark, idx).facet_counts(
+        "merge* if", facets, by="lang", fields=["content"]
+    )
+    # postings scan pushes term_id/field; no scan reads doc content
+    schemas = explain.read_schemas(out)
+    assert schemas, "no scans in plan"
+    assert not any("content" in s for s in schemas)
