@@ -9,13 +9,14 @@ reference's "materialize for the query you must serve fast" pattern
 (GxdResultHasImageIndexer.java:25-32 materializes a whole clone index
 to make one slow count fast).
 
-At 100 TB: the build is one scan + one partitioned write (no shuffle —
-the signature/assignment is a map-side expression); each query then
-reads ~n_vectors/2^n_planes rows per probed LSH bucket (or
-~n/n_centroids per IVF probe) instead of the whole corpus. Partition
-pruning happens in the parquet source (``bucket`` is a directory
-column), verified by a plan test asserting only probed ``bucket=``
-directories are read.
+At 100 TB: the build is one scan + one shuffle on the bucket key
+(the signature/assignment itself is a map-side expression; the
+repartition buys one-large-file-per-bucket layout instead of
+tasks x buckets tiny files); each query then reads
+~n_vectors/2^n_planes rows per probed LSH bucket (or ~n/n_centroids
+per IVF probe) instead of the whole corpus. Partition pruning happens
+in the parquet source (``bucket`` is a directory column), verified by
+a plan test asserting only probed ``bucket=`` directories are read.
 
 Determinism: hyperplanes are md5-seeded (similarity._hyperplane) and
 the IVF centroid sample is an evenly-strided id pick, so the whole
@@ -87,12 +88,17 @@ def build_ann_index(
             return meta
 
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    # repartition ON the partition column before the partitioned write:
+    # without it every input task writes a file into every bucket dir
+    # (tasks x 2^n_planes tiny files); with it each bucket is one
+    # task's worth of large files — the layout queries want.
     (
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             lsh_signature(F.col(vec_col), planes).alias("bucket"),
         )
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/lsh")
@@ -109,6 +115,7 @@ def build_ann_index(
         centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
     (
         ivf_assign(emb, centroids, id_col, vec_col)
+        .repartition("ivf_bucket")
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(f"{index_dir}/ivf")
@@ -195,6 +202,11 @@ class AnnIndex:
             self.meta = json.load(fh)
         self.planes: list[list[float]] = self.meta["planes"]
         self.centroids: list[list[float]] = self.meta["centroids"]
+        # build each relation once: the parquet file index lists every
+        # bucket directory (2^n_planes dirs) — pay that per engine,
+        # not per query
+        self._lsh = spark.read.parquet(f"{index_dir}/lsh")
+        self._ivf = spark.read.parquet(f"{index_dir}/ivf")
 
     # ------------------------------------------------------------- LSH
 
@@ -214,9 +226,7 @@ class AnnIndex:
 
     def lsh_candidates(self, query_vec: list[float], probes: int = 1) -> DataFrame:
         buckets = self.lsh_buckets(query_vec, probes)
-        return self.spark.read.parquet(f"{self.index_dir}/lsh").filter(
-            F.col("bucket").isin(buckets)
-        )
+        return self._lsh.filter(F.col("bucket").isin(buckets))
 
     def lsh_topk(
         self, query_vec: list[float], k: int = 10, probes: int = 1
@@ -233,7 +243,7 @@ class AnnIndex:
         co-partitions both sides on ``bucket`` and never compares
         across buckets — O(sum of bucket^2), not O(n^2), with zero
         signature recompute. -> (id_a, id_b, cos)."""
-        t = self.spark.read.parquet(f"{self.index_dir}/lsh").select(
+        t = self._lsh.select(
             F.col("vec_id").alias("vid"),
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
             "bucket",
@@ -263,9 +273,7 @@ class AnnIndex:
 
     def ivf_candidates(self, query_vec: list[float], nprobe: int = 4) -> DataFrame:
         probes = self.ivf_probes(query_vec, nprobe)
-        return self.spark.read.parquet(f"{self.index_dir}/ivf").filter(
-            F.col("ivf_bucket").isin(probes)
-        )
+        return self._ivf.filter(F.col("ivf_bucket").isin(probes))
 
     def ivf_topk(
         self, query_vec: list[float], k: int = 10, nprobe: int = 4
