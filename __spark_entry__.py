@@ -958,18 +958,32 @@ _COS = (
 
 
 def _ann_lsh_sql(k: int = 10, probes: int = 3) -> str:
+    """Mirrors AnnIndex.lsh_buckets margin-ordered multiprobe: flip
+    the sign bits of the (probes-1) hyperplanes with the smallest
+    |q . plane| (plane-index tiebreak). list_dot_product accumulates
+    left-to-right like the python helper, so the probe ORDER (hence
+    the candidate set) is bit-identical."""
     planes = _ann_planes()
-    in_list = ", ".join(
-        ["qs.s"]
-        + [f"xor(qs.s, {1 << i})" for i in range(min(len(planes), probes - 1))]
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, abs(list_dot_product(qv, {_plane_lit(p)})) AS m"
+        " FROM q"
+        for i, p in enumerate(planes)
     )
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 qs AS (SELECT {_lsh_sig_sql("qv", planes)} AS s FROM q),
+margins AS ({margin_rows}),
+flips AS (SELECT i FROM margins ORDER BY m ASC, i ASC
+          LIMIT {max(min(len(planes), probes - 1), 0)}),
+probe_buckets AS (
+  SELECT s AS b FROM qs
+  UNION ALL
+  SELECT xor(qs.s, (1::BIGINT << flips.i)) AS b FROM qs, flips),
 tagged AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   {_lsh_sig_sql("embedding::DOUBLE[]", planes)} AS sig
            FROM embeddings),
-cand AS (SELECT t.vec_id, t.e FROM tagged t, qs WHERE t.sig IN ({in_list})),
+cand AS (SELECT t.vec_id, t.e FROM tagged t
+         WHERE t.sig IN (SELECT b FROM probe_buckets)),
 s AS (SELECT cand.vec_id,
              {_COS.format(a="cand.e", b="q.qv")} AS sc
       FROM cand, q)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,29 @@ from gxdindexer_spark.operators.similarity import (
     lsh_signature,
     sample_centroids,
 )
+
+
+def _input_fingerprint(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> tuple[str, int, int]:
+    """Content-sensitive input fingerprint: count + id-sum + a crc32
+    over the embedding VALUES (cast to their canonical string form).
+    Re-computed embeddings under unchanged ids change the crc term, so
+    a resume never silently serves a stale index — the ANN analog of
+    the text index fingerprinting content_sha256
+    (index_build.IndexBuilder._build_locked).
+    -> (fingerprint, n_vectors, dim)."""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(id_col)).alias("s"),
+        F.sum(F.crc32(F.col(vec_col).cast("string"))).alias("c"),
+        F.max(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    return (
+        f"{row['n']}:{row['s']}:{row['c']}",
+        int(row["n"]),
+        int(row["dim"] or 0),
+    )
 
 
 def build_ann_index(
@@ -62,19 +86,14 @@ def build_ann_index(
       * ``ivf/``  — (vec_id, embedding) partitioned by ``ivf_bucket``
         (nearest-centroid coarse quantization, numpy matmul per Arrow
         batch);
-      * ``meta.json`` — planes, centroids, input fingerprint.
+      * ``meta.json`` — planes, centroids, input fingerprint,
+        applied-delta log (see ``append_ann_index``).
 
     ``resume=True`` skips the build when the input fingerprint
-    (count + id-sum) and params match the existing meta — the ANN
-    analog of the index builder's ledger check.
+    (count + id-sum + content crc) and params match the existing
+    meta — the ANN analog of the index builder's ledger check.
     """
-    row = emb.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col(id_col)).alias("s"),
-        F.max(F.size(F.col(vec_col))).alias("dim"),
-    ).first()
-    n_vectors, dim = int(row["n"]), int(row["dim"])
-    fingerprint = f"{row['n']}:{row['s']}"
+    fingerprint, n_vectors, dim = _input_fingerprint(emb, id_col, vec_col)
     meta_path = f"{index_dir}/meta.json"
     if resume and os.path.isfile(meta_path):
         with open(meta_path) as fh:
@@ -129,13 +148,20 @@ def build_ann_index(
         "kmeans_iters": kmeans_iters,
         "planes": planes,
         "centroids": centroids,
+        "applied_deltas": [],
     }
-    tmp = meta_path + ".tmp"
+    _commit_meta(index_dir, meta)
+    # a fresh full build invalidates any staged deltas from a prior life
+    shutil.rmtree(f"{index_dir}/deltas", ignore_errors=True)
+    return meta
+
+
+def _commit_meta(index_dir: str, meta: dict) -> None:
+    tmp = f"{index_dir}/meta.json.tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, meta_path)  # meta commits LAST: its presence
-    # guarantees both artifacts are fully written
-    return meta
+    os.replace(tmp, f"{index_dir}/meta.json")  # meta commits LAST: its
+    # presence/content guarantees the referenced artifacts are complete
 
 
 def append_ann_index(
@@ -144,47 +170,108 @@ def append_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Incrementally add vectors to an existing ANN index.
+    """Incrementally add vectors to an existing ANN index —
+    exactly-once over at-least-once delivery.
 
     The delta is quantized with the index's EXISTING planes/centroids
-    (from meta.json) and appended to the bucket partitions — one delta
-    scan + partitioned append, no rebuild of prior data. LSH buckets
-    are exact forever (planes are input-independent); IVF cells drift
-    from the training distribution as the corpus grows — retrain
-    centroids (rebuild with kmeans_iters>0) periodically, like any IVF
-    system. meta.json's fingerprint/count update LAST (commit point).
+    (from meta.json) and STAGED as its own partitioned dataset under
+    ``deltas/<fp>/{lsh,ivf}`` (bucket-repartitioned before the
+    partitioned write — same one-file-per-bucket layout discipline as
+    the base build). The commit point is appending the delta's
+    content fingerprint to ``meta.applied_deltas`` (atomic replace):
+
+      * a replayed delta (same fingerprint already applied) is a no-op;
+      * a crash before the meta commit leaves an uncommitted staging
+        dir that readers never see; the retry overwrites it and then
+        commits — no duplicate rows, ever.
+
+    Readers (``AnnIndex``) union the base with applied deltas only.
+    LSH buckets are exact forever (planes are input-independent); IVF
+    cells drift from the training distribution as the corpus grows —
+    retrain centroids (rebuild with kmeans_iters>0) periodically, like
+    any IVF system. ``compact_ann_index`` folds deltas back into the
+    base when the relation count grows.
     """
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
     planes = meta["planes"]
     centroids = meta["centroids"]
-    row = emb_delta.agg(
-        F.count("*").alias("n"), F.sum(F.col(id_col)).alias("s")
-    ).first()
+    fp, n_delta, _dim = _input_fingerprint(emb_delta, id_col, vec_col)
+    meta.setdefault("applied_deltas", [])
+    if fp in meta["applied_deltas"]:
+        return meta  # replay: already committed, no-op
+    tag = fp.replace(":", "_").replace("-", "m")
+    stage = f"{index_dir}/deltas/{tag}"
     (
         emb_delta.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             lsh_signature(F.col(vec_col), planes).alias("bucket"),
         )
-        .write.mode("append")
+        .repartition("bucket")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{index_dir}/lsh")
+        .parquet(f"{stage}/lsh")
     )
     (
         ivf_assign(emb_delta, centroids, id_col, vec_col)
-        .write.mode("append")
+        .repartition("ivf_bucket")
+        .write.mode("overwrite")
         .partitionBy("ivf_bucket")
-        .parquet(f"{index_dir}/ivf")
+        .parquet(f"{stage}/ivf")
     )
-    old_n, old_s = meta["fingerprint"].split(":")
-    meta["n_vectors"] = int(meta["n_vectors"]) + int(row["n"])
-    meta["fingerprint"] = f"{int(old_n) + int(row['n'])}:{int(old_s) + int(row['s'])}"
-    tmp = f"{index_dir}/meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{index_dir}/meta.json")
+    meta["applied_deltas"].append(fp)
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_delta
+    _commit_meta(index_dir, meta)
     return meta
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str
+) -> dict:
+    """Fold applied deltas back into the base artifacts (one rewrite,
+    bucket-repartitioned) and clear the delta log — bounds the number
+    of relations a reader unions as appends accumulate. No-op when no
+    deltas are applied."""
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    deltas = meta.get("applied_deltas") or []
+    if not deltas:
+        return meta
+    for art, part_col in (("lsh", "bucket"), ("ivf", "ivf_bucket")):
+        rel = _read_with_deltas(spark, index_dir, art, deltas)
+        tmp = f"{index_dir}/.{art}_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            rel.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+        old = f"{index_dir}/.{art}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(f"{index_dir}/{art}", old)
+        os.rename(tmp, f"{index_dir}/{art}")
+        shutil.rmtree(old, ignore_errors=True)
+    meta["applied_deltas"] = []
+    _commit_meta(index_dir, meta)
+    shutil.rmtree(f"{index_dir}/deltas", ignore_errors=True)
+    return meta
+
+
+def _read_with_deltas(
+    spark: SparkSession, index_dir: str, art: str, deltas: list[str]
+) -> DataFrame:
+    """Base artifact unioned with every APPLIED delta's staging dir.
+    Each root is its own partitioned parquet relation, so partition
+    pruning on the bucket column pushes into every scan."""
+    df = spark.read.parquet(f"{index_dir}/{art}")
+    for fp in deltas:
+        tag = fp.replace(":", "_").replace("-", "m")
+        df = df.unionByName(
+            spark.read.parquet(f"{index_dir}/deltas/{tag}/{art}")
+        )
+    return df
 
 
 class AnnIndex:
@@ -204,25 +291,22 @@ class AnnIndex:
         self.centroids: list[list[float]] = self.meta["centroids"]
         # build each relation once: the parquet file index lists every
         # bucket directory (2^n_planes dirs) — pay that per engine,
-        # not per query
-        self._lsh = spark.read.parquet(f"{index_dir}/lsh")
-        self._ivf = spark.read.parquet(f"{index_dir}/ivf")
+        # not per query. Applied append deltas union in (each root is
+        # partition-pruned independently).
+        deltas = self.meta.get("applied_deltas") or []
+        self._lsh = _read_with_deltas(spark, index_dir, "lsh", deltas)
+        self._ivf = _read_with_deltas(spark, index_dir, "ivf", deltas)
 
     # ------------------------------------------------------------- LSH
 
     def lsh_buckets(self, query_vec: list[float], probes: int = 1) -> list[int]:
-        """Query signature bucket + Hamming-1 probe ring."""
-        qsig = 0
-        for i, p in enumerate(self.planes):
-            if sum(a * b for a, b in zip(query_vec, p)) > 0:
-                qsig += 2**i
-        buckets = [qsig]
-        if probes > 1:
-            buckets += [
-                qsig ^ (1 << i)
-                for i in range(min(len(self.planes), probes - 1))
-            ]
-        return buckets
+        """Query signature bucket + margin-ordered multiprobe ring
+        (similarity.lsh_probe_buckets: flip the sign bits of the
+        hyperplanes the query sits closest to first — same probe count
+        as naive bit-0,1,2 flipping, materially better recall)."""
+        from gxdindexer_spark.operators.similarity import lsh_probe_buckets
+
+        return lsh_probe_buckets(query_vec, self.planes, probes)
 
     def lsh_candidates(self, query_vec: list[float], probes: int = 1) -> DataFrame:
         buckets = self.lsh_buckets(query_vec, probes)
@@ -259,6 +343,81 @@ class AnnIndex:
             F.col("b.vid").alias("id_b"),
             F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
         ).filter(F.col("cos") >= threshold)
+
+    def lsh_neardup_pairs_banded(
+        self,
+        threshold: float = 0.95,
+        bands: int = 2,
+        rows_per_band: int | None = None,
+    ) -> DataFrame:
+        """Near-dup pairs with BOUNDED bucket fan-in: band the stored
+        ``bucket`` signature minhash-LSH-style (dedup.minhash_lsh_pairs
+        shape) — ``bands`` independent ``rows_per_band``-bit slices,
+        self-join per (band, slice), union, distinct, cosine filter.
+
+        Why this scales where the single-bucket join doesn't: the
+        single join's per-bucket cost is (n/2^n_planes)^2 — raising
+        n_planes to shrink buckets kills recall (a near-dup pair must
+        agree on ALL bits). Banding decouples the two: recall is an OR
+        over bands (agree on ANY one slice), so ``rows_per_band`` can
+        grow with log(n) to cap per-bucket fan-in while ``bands``
+        holds recall up. Band slices come straight off the stored
+        bucket bits — zero signature recompute; with a larger persisted
+        n_planes, bands*rows_per_band scales to any corpus size.
+        -> (id_a, id_b, cos), distinct, id_a < id_b.
+        """
+        n_planes = int(self.meta["n_planes"])
+        rows_per_band = rows_per_band or n_planes // bands
+        if bands * rows_per_band > n_planes:
+            raise ValueError(
+                f"bands*rows_per_band={bands * rows_per_band} exceeds the "
+                f"persisted n_planes={n_planes}; rebuild with more planes"
+            )
+        # candidate generation carries ONLY (vid, band, sig) int rows —
+        # vectors hydrate in AFTER the distinct, so a pair found by
+        # several bands costs one cosine, and the band shuffle moves
+        # 3 ints/row instead of the embedding
+        ids = self._lsh.select(F.col("vec_id").alias("vid"), "bucket")
+        mask = (1 << rows_per_band) - 1
+        sliced = None
+        for bi in range(bands):
+            part = ids.select(
+                "vid",
+                F.lit(bi).alias("band"),
+                F.shiftright("bucket", bi * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("sig"),
+            )
+            sliced = part if sliced is None else sliced.unionAll(part)
+        a, b = sliced.alias("a"), sliced.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(
+                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
+            )
+            .distinct()
+        )
+        vecs = self._lsh.select(
+            F.col("vec_id").alias("vid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        return (
+            cand.join(vecs.alias("va"), F.col("id_a") == F.col("va.vid"))
+            .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.vid"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine(F.col("va.v"), F.col("vb.v")), 6
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
 
     # ------------------------------------------------------------- IVF
 

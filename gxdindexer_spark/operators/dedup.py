@@ -230,6 +230,7 @@ def neardup_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> canonical
     cluster ids: (doc_id, component_id) where component_id = min doc_id
@@ -246,7 +247,16 @@ def neardup_components(
     Components in MapReduce and Beyond", public) — same interface.
     Convergence is detected by the (monotonically decreasing) sum of
     labels; each round localCheckpoints to cut the lineage chain.
+
+    A graph whose diameter exceeds ``max_iters`` yields PARTIAL labels
+    — silently returning them would make the keep-rule keep several
+    docs per cluster with no signal. ``on_nonconverged``: "raise"
+    (default — unconverged results are never mistaken for canonical
+    clusters) or "warn" (returns the partial labels after a warning,
+    for exploratory use).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
@@ -256,6 +266,7 @@ def neardup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    converged = False
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
@@ -268,6 +279,19 @@ def neardup_components(
         )
         cur_sum = labels.agg(F.sum("component_id")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"neardup_components did not converge within max_iters="
+            f"{max_iters} (label sum still decreasing) — component ids "
+            "are PARTIAL; raise max_iters or use star-contraction for "
+            "long-chain graphs"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias(id_col), "component_id")

@@ -677,51 +677,58 @@ class _WriterLock:
     """Single-writer guard for an index directory.
 
     The Iceberg analog is optimistic snapshot commit; on a plain
-    filesystem we use an O_EXCL lock file holding the owner pid. A
-    lock whose pid is no longer alive (same-host check via /proc) is
-    stale and is stolen — a crashed build must not wedge the index.
+    filesystem we hold an exclusive ``flock`` on a persistent lock
+    file. The kernel owns the lock state, which removes both failure
+    modes of pid-stamped lock files in one stroke: a crashed writer's
+    lock releases automatically (no staleness, no /proc liveness
+    check), and there is no delete/recreate steal window (the
+    read-dead-pid -> remove -> O_EXCL dance has a TOCTOU race where
+    two stealers can each remove the other's freshly created lock and
+    both proceed). The pid is written into the file for diagnostics
+    only; the lock file itself is never deleted.
+
     Readers never take the lock: artifacts commit via atomic renames
     and the manifest/ledger are replaced last, so a reader sees either
-    the old or the new snapshot, never a torn one.
+    the old or the new snapshot, never a torn one. On a multi-writer
+    cluster against shared object storage, replace this with the
+    catalog's optimistic commit (Iceberg) or a lock service — flock
+    is a same-host primitive, which is exactly the scope a single
+    Spark driver mutating one index needs.
     """
 
     def __init__(self, index_dir: str):
         self.path = f"{index_dir}/_writer.lock"
-
-    @staticmethod
-    def _alive(pid: int) -> bool:
-        return os.path.exists(f"/proc/{pid}")
+        self._fd: int | None = None
 
     def __enter__(self) -> "_WriterLock":
-        while True:
+        import fcntl
+
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            owner = "unknown"
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, json.dumps({"pid": os.getpid()}).encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    with open(self.path) as fh:
-                        owner = json.load(fh)
-                    pid = int(owner.get("pid", -1))
-                except (OSError, ValueError):
-                    pid = -1
-                if pid > 0 and self._alive(pid) and pid != os.getpid():
-                    raise ConcurrentWriteError(
-                        f"index is being written by live pid {pid} "
-                        f"({self.path})"
-                    ) from None
-                # stale (crashed writer) or unreadable: steal it
-                try:
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
+                with open(self.path) as fh:
+                    owner = json.load(fh).get("pid", "unknown")
+            except (OSError, ValueError):
+                pass
+            os.close(fd)
+            raise ConcurrentWriteError(
+                f"index is being written by live pid {owner} ({self.path})"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+        self._fd = fd
+        return self
 
     def __exit__(self, *exc) -> None:
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
+        import fcntl
+
+        if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
 
 
 def read_ledger(index_dir: str) -> dict[int, dict]:

@@ -89,6 +89,34 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def lsh_probe_buckets(
+    query_vec: list[float], planes: list[list[float]], probes: int = 1
+) -> list[int]:
+    """Query bucket + margin-ordered single-bit-flip probe ring: flip
+    the sign bits of the hyperplanes the query is CLOSEST to first
+    (ascending |q . plane|, plane-index tiebreak) — the standard
+    multiprobe heuristic (Lv et al. VLDB'07). Dot products accumulate
+    left-to-right in pure python so the DuckDB oracle's
+    list_dot_product orders probes identically."""
+    dots = []
+    for p in planes:
+        acc = 0.0
+        for a, b in zip(query_vec, p):
+            acc += a * b
+        dots.append(acc)
+    qsig = sum(2**i for i, d in enumerate(dots) if d > 0)
+    buckets = [qsig]
+    if probes > 1:
+        by_margin = sorted(
+            range(len(planes)), key=lambda i: (abs(dots[i]), i)
+        )
+        buckets += [
+            qsig ^ (1 << i)
+            for i in by_margin[: min(len(planes), probes - 1)]
+        ]
+    return buckets
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -98,19 +126,13 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     probes: int = 1,
 ) -> DataFrame:
-    """ANN: scan only the query's LSH bucket (plus Hamming-1 probe
-    buckets when ``probes`` > 1). Approximate — the candidate set is
-    pruned BEFORE the exact cosine, so the scan touches ~1/2^n_planes
-    of the corpus per probe."""
+    """ANN: scan only the query's LSH bucket (plus margin-ordered
+    probe buckets when ``probes`` > 1). Approximate — the candidate
+    set is pruned BEFORE the exact cosine, so the scan touches
+    ~1/2^n_planes of the corpus per probe."""
     dim = len(query_vec)
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) > 0:
-            qsig += 2**i
-    buckets = [qsig]
-    if probes > 1:
-        buckets += [qsig ^ (1 << i) for i in range(min(n_planes, probes - 1))]
+    buckets = lsh_probe_buckets(query_vec, planes, probes)
     tagged = emb.withColumn("_bucket", lsh_signature(F.col(vec_col), planes))
     cand = tagged.filter(F.col("_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

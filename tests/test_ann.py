@@ -223,8 +223,9 @@ def test_build_ann_index_with_kmeans(spark, emb, tmp_path):
 def test_append_ann_index_matches_full_build(spark, emb, tmp_path):
     """Build on half the vectors, append the rest: LSH queries equal a
     full build (planes are input-independent); IVF candidates equal
-    inline assignment with the index's centroids; the combined
-    fingerprint now matches a full-input resume probe."""
+    inline assignment with the index's centroids; a REPLAYED delta is
+    a no-op (exactly-once commit via the applied-delta fingerprint
+    log); compaction folds deltas into the base, results unchanged."""
     d = str(tmp_path / "annapp")
     half1 = emb.filter(F.col("vec_id") % 2 == 0)
     half2 = emb.filter(F.col("vec_id") % 2 == 1)
@@ -233,6 +234,7 @@ def test_append_ann_index_matches_full_build(spark, emb, tmp_path):
     )
     meta2 = ann.append_ann_index(half2, d)
     assert meta2["n_vectors"] == emb.count()
+    assert len(meta2["applied_deltas"]) == 1
     idx = ann.AnnIndex(spark, d)
     qvec = [
         float(v)
@@ -251,8 +253,180 @@ def test_append_ann_index_matches_full_build(spark, emb, tmp_path):
         emb, qvec, k=10, nprobe=3, centroids=meta1["centroids"]
     ).collect()
     assert got_ivf == expect_ivf
-    # a full-input resume probe sees the combined fingerprint as done
-    again = ann.build_ann_index(
-        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=True
+    # replayed delta (at-least-once delivery) is a committed no-op:
+    # no duplicate rows, applied-delta log unchanged
+    meta3 = ann.append_ann_index(half2, d)
+    assert meta3["applied_deltas"] == meta2["applied_deltas"]
+    assert meta3["n_vectors"] == meta2["n_vectors"]
+    assert ann.AnnIndex(spark, d)._lsh.count() == emb.count()
+    # compaction folds deltas into the base; queries unchanged
+    ann.compact_ann_index(spark, d)
+    idx2 = ann.AnnIndex(spark, d)
+    assert idx2.meta["applied_deltas"] == []
+    assert idx2.lsh_topk(qvec, k=10, probes=3).collect() == got
+    assert idx2._lsh.count() == emb.count()
+
+
+def test_append_crash_before_commit_is_invisible_and_retryable(
+    spark, emb, tmp_path
+):
+    """A delta staged but not committed (crash between the artifact
+    write and the meta replace) is invisible to readers; the retried
+    append overwrites the staging dir and commits exactly once."""
+    import json as _json
+
+    d = str(tmp_path / "anncrash")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ann.build_ann_index(
+        half1, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
     )
-    assert again["fingerprint"] == meta2["fingerprint"]
+    meta2 = ann.append_ann_index(half2, d)
+    # simulate the crash window: roll meta back to the pre-commit state
+    meta_rb = dict(meta2)
+    meta_rb["applied_deltas"] = []
+    meta_rb["n_vectors"] = half1.count()
+    with open(f"{d}/meta.json", "w") as fh:
+        _json.dump(meta_rb, fh)
+    # reader sees ONLY the base (staged rows uncommitted)
+    assert ann.AnnIndex(spark, d)._lsh.count() == half1.count()
+    # retry re-stages (overwrite) and commits; no duplicates
+    meta3 = ann.append_ann_index(half2, d)
+    assert len(meta3["applied_deltas"]) == 1
+    assert ann.AnnIndex(spark, d)._lsh.count() == emb.count()
+
+
+def test_build_fingerprint_is_content_sensitive(spark, emb, tmp_path):
+    """Changed embedding VALUES under unchanged ids must invalidate a
+    resume (the fingerprint folds in a crc over the vector content)."""
+    d = str(tmp_path / "anncontent")
+    meta = ann.build_ann_index(
+        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    mutated = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    again = ann.build_ann_index(
+        mutated, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=True
+    )
+    assert again["fingerprint"] != meta["fingerprint"]
+
+
+def test_lsh_probe_order_is_margin_ascending(built, qvec):
+    """Multiprobe flips the sign bits of the hyperplanes the query is
+    CLOSEST to first (ascending |q . plane|, index tiebreak) — the
+    probe most likely to recover split-off neighbors comes first."""
+    import numpy as np
+
+    _d, meta = built
+    planes = meta["planes"]
+    dots = []
+    for p in planes:
+        acc = 0.0
+        for a, b in zip(qvec, p):
+            acc += a * b
+        dots.append(acc)
+    qsig = sum(2**i for i, d in enumerate(dots) if d > 0)
+    order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+    from gxdindexer_spark.operators.similarity import lsh_probe_buckets
+
+    got = lsh_probe_buckets(qvec, planes, probes=4)
+    assert got == [qsig] + [qsig ^ (1 << i) for i in order[:3]]
+    # margins genuinely differ, so the order is informative
+    assert len({round(abs(d), 12) for d in dots}) == len(dots)
+
+
+def _synth_emb(spark, n=1500, dim=16, n_dups=60, seed=7):
+    """Deterministic random unit vectors + planted near-dup pairs
+    (tiny perturbation -> cos ~ 0.999)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    dup_src = rng.choice(n, size=n_dups, replace=False)
+    D = V[dup_src] + 0.02 * rng.standard_normal((n_dups, dim))
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
+    rows += [
+        (int(n + j), [float(x) for x in D[j]]) for j in range(n_dups)
+    ]
+    planted = {(int(s), int(n + j)) for j, s in enumerate(dup_src)}
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return df, planted
+
+
+def test_banded_neardup_bounds_fanin_and_keeps_recall(spark, tmp_path):
+    """The scale defect of the single-bucket self-join: candidate
+    pairs ~ n^2/2^n_planes, and shrinking buckets (more planes) kills
+    recall because a pair must agree on ALL bits. Banding over a
+    LARGER persisted signature (agree on ANY rows_per_band-bit slice)
+    cuts candidates by orders of magnitude at EQUAL-or-better recall."""
+    import itertools
+
+    from collections import Counter
+
+    emb, planted = _synth_emb(spark)
+
+    def candidate_count(buckets, shift_mask_pairs):
+        """Exact candidate-pair count for a banded self-join."""
+        total = 0
+        seen = set()
+        for shift, mask in shift_mask_pairs:
+            c = Counter((b >> shift) & mask for b in buckets.values())
+            total += sum(v * (v - 1) // 2 for v in c.values())
+        return total
+
+    # config A: the old shape — 6 planes, one full-signature bucket
+    da = str(tmp_path / "a")
+    ann.build_ann_index(emb, da, n_planes=6, n_centroids=4, resume=False)
+    ia = ann.AnnIndex(spark, da)
+    buckets_a = {
+        r["vec_id"]: r["bucket"]
+        for r in ia._lsh.select("vec_id", "bucket").collect()
+    }
+    cand_a = candidate_count(buckets_a, [(0, (1 << 6) - 1)])
+    pairs_a = {
+        (r["id_a"], r["id_b"])
+        for r in ia.lsh_neardup_pairs(threshold=0.95).collect()
+    }
+
+    # config B: 24 persisted planes, 2 bands x 12 bits
+    db = str(tmp_path / "b")
+    ann.build_ann_index(emb, db, n_planes=24, n_centroids=4, resume=False)
+    ib = ann.AnnIndex(spark, db)
+    buckets_b = {
+        r["vec_id"]: r["bucket"]
+        for r in ib._lsh.select("vec_id", "bucket").collect()
+    }
+    cand_b = candidate_count(
+        buckets_b, [(0, (1 << 12) - 1), (12, (1 << 12) - 1)]
+    )
+    pairs_b = {
+        (r["id_a"], r["id_b"])
+        for r in ib.lsh_neardup_pairs_banded(
+            threshold=0.95, bands=2, rows_per_band=12
+        ).collect()
+    }
+
+    # fan-in: an order of magnitude fewer candidate comparisons
+    assert cand_b < cand_a / 5
+    # recall on the planted near-dup pairs: banded >= single-bucket
+    rec_a = len(pairs_a & planted) / len(planted)
+    rec_b = len(pairs_b & planted) / len(planted)
+    assert rec_b >= rec_a
+    assert rec_b >= 0.5
+    # every reported pair is a true near-dup and pairs are distinct
+    rows = ib.lsh_neardup_pairs_banded(
+        threshold=0.95, bands=2, rows_per_band=12
+    ).collect()
+    assert all(r["cos"] >= 0.95 for r in rows)
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})

@@ -610,12 +610,17 @@ def test_facet_counts_match_set_algebra(built, spark):
 
 
 def test_writer_lock_and_snapshot_lineage(built, spark, tmpdir_idx):
-    """Single-writer guard: a live holder raises ConcurrentWriteError,
-    a stale (dead-pid) lock is stolen; every content-changing build
-    commits a new monotonic snapshot_id with a parent pointer."""
+    """Single-writer guard: a live flock holder raises
+    ConcurrentWriteError; a crashed holder's lock releases with its fd
+    (kernel-owned — no stale-lock steal, no TOCTOU); every
+    content-changing build commits a new monotonic snapshot_id with a
+    parent pointer."""
     import json as _json
 
-    from gxdindexer_spark.operators.index_build import ConcurrentWriteError
+    from gxdindexer_spark.operators.index_build import (
+        ConcurrentWriteError,
+        _WriterLock,
+    )
 
     _idx, docs, _pdocs, _m = built
     builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
@@ -624,19 +629,17 @@ def test_writer_lock_and_snapshot_lineage(built, spark, tmpdir_idx):
         m1 = _json.load(fh)
     assert m1["snapshot_id"] == 1 and m1["parent_snapshot_id"] is None
 
-    # live lock (our own pid counts as another live writer holder)
-    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
-        _json.dump({"pid": os.getpid() + 0}, fh)
-    # a DIFFERENT live pid must block; use pid 1 (init, always alive)
-    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
-        _json.dump({"pid": 1}, fh)
+    # live holder (separate open file description, so same-process
+    # works for the test) blocks a second writer
+    holder = _WriterLock(tmpdir_idx)
+    holder.__enter__()
     with pytest.raises(ConcurrentWriteError):
         builder.build(docs, tmpdir_idx, resume=True)
-    # stale lock (dead pid) is stolen and the build proceeds
-    with open(f"{tmpdir_idx}/_writer.lock", "w") as fh:
-        _json.dump({"pid": 2**22 + 12345}, fh)
+    # simulated crash: fd closes WITHOUT a clean unlock path — the
+    # kernel releases the flock and the next writer proceeds
+    os.close(holder._fd)
+    holder._fd = None
     builder.build(docs, tmpdir_idx, resume=True)  # no-op resume
-    assert not os.path.exists(f"{tmpdir_idx}/_writer.lock")
     with open(f"{tmpdir_idx}/manifest.json") as fh:
         m2 = _json.load(fh)
     # no-op resume re-asserts the same snapshot
