@@ -179,6 +179,44 @@ class PostingList:
             out.extend(self.decode_block_positions(i))
         return out
 
+    def decode_positions_flat(
+        self, counts: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ALL postings' positions as ONE flat int64 array plus the
+        per-posting counts — zero per-posting python.
+
+        One varbyte pass over the whole pos_buf; the per-posting
+        [npos, ...] headers sit at offsets computable from the tf
+        stream (positional builds guarantee npos == tf:
+        analyze.term_freqs_positions sets tf = len(positions)), so a
+        boolean mask drops them and a segmented cumsum undoes the
+        per-posting delta coding. Pass ``counts`` (the decoded tf
+        array) to skip re-decoding tfs_buf.
+        -> (pos_flat, counts); posting j's positions are
+        pos_flat[cum[j]:cum[j+1]] with cum = cumsum(counts).
+        """
+        if self.pos_offsets is None or not len(self.pos_buf):
+            raise ValueError("posting list was built without positions")
+        vals = varbyte_decode(self.pos_buf).astype(np.int64)
+        if counts is None:
+            counts = varbyte_decode(self.tfs_buf)
+        counts = counts.astype(np.int64)
+        n = counts.size
+        if not int(counts.sum()):
+            return np.empty(0, np.int64), counts
+        # header slot of posting j in vals: sum of (1 + count) before j
+        heads = np.zeros(n, dtype=np.int64)
+        np.cumsum(1 + counts[:-1], out=heads[1:])
+        mask = np.ones(vals.size, dtype=bool)
+        mask[heads] = False
+        deltas = vals[mask]
+        # segmented cumsum: per-posting running sum (first is absolute)
+        cs = np.cumsum(deltas)
+        seg0 = np.cumsum(counts) - counts
+        offset = cs[seg0] - deltas[seg0]
+        pos_flat = cs - np.repeat(offset, counts)
+        return pos_flat, counts
+
     def decode_blocks(
         self, blocks: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -186,6 +186,58 @@ def _sloppy_pf(pos_lists: list[np.ndarray], slop: int) -> float:
     return float(np.sum(1.0 / (1.0 + cand_gap)))
 
 
+#: per-candidate key stride: doc_rank * _DOC_STRIDE + position keeps
+#: every doc's positions in a disjoint key range, so ONE searchsorted
+#: serves all candidate docs at once (positions < 2^32 - slop always)
+_DOC_STRIDE = np.int64(1) << 32
+
+
+def _phrase_freqs_batch(
+    pos_by_term: list[tuple[np.ndarray, np.ndarray]],
+    n_docs: int,
+    slop: int,
+) -> np.ndarray:
+    """Sloppy phrase frequency for ALL candidate docs in one frontier
+    expansion (the ``_sloppy_pf`` math lifted across docs).
+
+    ``pos_by_term[t]`` = (keys, counts): the t-th phrase term's
+    positions for every candidate doc, concatenated in doc order and
+    keyed ``doc_rank * _DOC_STRIDE + position`` — ascending across the
+    whole array, and a candidate's expansion window (``+1+slop``)
+    can never cross into the next doc's key range. Frontier state is
+    (key, used_gap) pairs; every term extends every candidate via two
+    searchsorteds over the term's full keyed array. No per-doc python:
+    the round-2 MaxScore treatment applied to PhraseQuery.
+    -> per-doc phrase frequency (sum of 1/(1+total_gap) per match).
+    """
+    keys0, _c0 = pos_by_term[0]
+    cand_key = keys0
+    cand_gap = np.zeros(cand_key.size, dtype=np.int64)
+    for keys_t, _ct in pos_by_term[1:]:
+        if not cand_key.size:
+            break
+        lo = np.searchsorted(keys_t, cand_key + 1, side="left")
+        hi = np.searchsorted(
+            keys_t, cand_key + 1 + (slop - cand_gap), side="right"
+        )
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(n_docs, dtype=np.float64)
+        rep = np.repeat(np.arange(cand_key.size), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        flat = keys_t[np.repeat(lo, counts) + offs]
+        cand_gap = cand_gap[rep] + (flat - cand_key[rep] - 1)
+        cand_key = flat
+    pf = np.zeros(n_docs, dtype=np.float64)
+    if cand_key.size:
+        ranks = (cand_key // _DOC_STRIDE).astype(np.int64)
+        np.add.at(pf, ranks, 1.0 / (1.0 + cand_gap.astype(np.float64)))
+    return pf
+
+
 def phrase_topk_shard(
     postings: pd.DataFrame,
     ordered_tids: list[int],
@@ -198,39 +250,66 @@ def phrase_topk_shard(
     slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Phrase scoring for one shard, Lucene PhraseQuery semantics:
-    tf = (sloppy) phrase frequency (see ``_sloppy_pf``), idf = sum of
-    the constituent terms' idfs, weighted by the field weight (folded
-    into ``idf_sum``). Requires a positional index."""
+    tf = (sloppy) phrase frequency (see ``_sloppy_pf`` for the per-doc
+    contract, ``_phrase_freqs_batch`` for the batched evaluation),
+    idf = sum of the constituent terms' idfs, weighted by the field
+    weight (folded into ``idf_sum``). Requires a positional index.
+
+    Fully vectorized across candidate docs: positions decode in one
+    flat pass per term (codec.decode_positions_flat), candidate docs'
+    segments gather with numpy fancy indexing, and one cross-doc
+    frontier expansion computes every doc's phrase frequency — a
+    two-common-token phrase on a large shard stays in numpy instead
+    of a per-doc interpreter loop.
+    """
     by_tid: dict[int, tuple] = {}
+    want = set(ordered_tids)
     for r in postings.itertuples():
         if r.field != field:
             continue
         tid = int(r.term_id)
-        if tid in set(ordered_tids) and tid not in by_tid:
+        if tid in want and tid not in by_tid:
             pl = posting_list_from_row(str(tid), r._asdict())
-            docs, _tfs, dls = pl.decode_all()
-            by_tid[tid] = (docs, dls, pl.decode_all_positions())
+            docs, tfs, dls = pl.decode_all()
+            pos_flat, counts = pl.decode_positions_flat(counts=tfs)
+            by_tid[tid] = (docs, dls, pos_flat, counts)
     if any(t not in by_tid for t in ordered_tids):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     # candidate docs: intersection across all phrase terms
     common = by_tid[ordered_tids[0]][0]
     for t in ordered_tids[1:]:
         common = np.intersect1d(common, by_tid[t][0], assume_unique=True)
-    out_docs, out_scores = [], []
-    d0, dl0, _p0 = by_tid[ordered_tids[0]]
-    for doc in common:
-        pos_lists = []
-        for t in ordered_tids:
-            docs_t, _dls_t, pos_t = by_tid[t]
-            pos_lists.append(pos_t[int(np.searchsorted(docs_t, doc))])
-        pf = _sloppy_pf(pos_lists, slop)
-        if pf > 0.0:
-            dl = float(dl0[int(np.searchsorted(d0, doc))])
-            score = idf_sum * float(bm25.tf_norm(pf, dl, avgdl, k1, b))
-            out_docs.append(int(doc))
-            out_scores.append(score)
+    if not common.size:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    n_c = common.size
+    rank_base = np.arange(n_c, dtype=np.int64) * _DOC_STRIDE
+    pos_by_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for t in ordered_tids:
+        docs_t, _dls_t, pos_flat, counts = by_tid[t]
+        if counts.size == n_c:
+            # common == this term's whole doc list (the common-token
+            # worst case): the segment gather is the identity
+            sel_counts, flat_sel = counts, pos_flat
+        else:
+            idx = np.searchsorted(docs_t, common)
+            sel_counts = counts[idx]
+            seg_start = np.cumsum(counts) - counts
+            total = int(sel_counts.sum())
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(sel_counts) - sel_counts, sel_counts
+            )
+            flat_sel = pos_flat[np.repeat(seg_start[idx], sel_counts) + ramp]
+        keys = flat_sel + np.repeat(rank_base, sel_counts)
+        pos_by_term.append((keys, sel_counts))
+    pf = _phrase_freqs_batch(pos_by_term, n_c, slop)
+    hit = pf > 0.0
+    if not hit.any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    d0, dl0 = by_tid[ordered_tids[0]][0], by_tid[ordered_tids[0]][1]
+    dls_c = dl0[np.searchsorted(d0, common)].astype(np.float64)
+    scores = idf_sum * bm25.tf_norm(pf[hit], dls_c[hit], avgdl, k1, b)
     return _topk_from_scores(
-        np.asarray(out_docs, np.int64), np.asarray(out_scores, np.float64), k
+        common[hit].astype(np.int64), scores.astype(np.float64), k
     )
 
 

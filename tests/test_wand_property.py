@@ -88,3 +88,83 @@ def test_wand_skewed_lists_prune_nonessential():
     dt, st_ = W.taat(pdf, spec, 10)
     assert np.array_equal(dw, dt)
     np.testing.assert_allclose(sw, st_, rtol=1e-12)
+
+
+@st.composite
+def positional_postings(draw):
+    """2-4 phrase terms with per-doc sorted position lists (duplicates
+    allowed — word-part expansions can share a position)."""
+    n_terms = draw(st.integers(2, 4))
+    block_size = draw(st.sampled_from([4, 16]))
+    rows = []
+    pos_map: dict[int, dict[int, list[int]]] = {}
+    for t in range(n_terms):
+        n = draw(st.integers(1, 25))
+        docs = np.array(
+            sorted(draw(st.sets(st.integers(0, 60), min_size=n, max_size=n))),
+            dtype=np.int64,
+        )
+        n = docs.size
+        positions = [
+            sorted(
+                draw(
+                    st.lists(
+                        st.integers(0, 40), min_size=1, max_size=6
+                    )
+                )
+            )
+            for _ in range(n)
+        ]
+        tfs = np.array([len(p) for p in positions], dtype=np.uint64)
+        dls = np.full(n, 41, dtype=np.uint64)
+        tfn = bm25.tf_norm(tfs.astype(float), dls.astype(float), AVGDL)
+        row = encode_postings(
+            docs,
+            tfs,
+            tfn,
+            block_size,
+            dls=dls,
+            positions=[np.asarray(p, dtype=np.int64) for p in positions],
+        )
+        row.update(shard=0, field="content", term_id=t)
+        rows.append(row)
+        pos_map[t] = {
+            int(d): list(p) for d, p in zip(docs, positions)
+        }
+    slop = draw(st.integers(0, 4))
+    return pd.DataFrame(rows), pos_map, list(range(len(rows))), slop
+
+
+@given(positional_postings(), st.integers(1, 20))
+@settings(max_examples=80, deadline=None)
+def test_batched_phrase_matches_per_doc_reference(pp, k):
+    """The cross-doc vectorized frontier expansion
+    (wand._phrase_freqs_batch via phrase_topk_shard) is value-identical
+    to evaluating wand._sloppy_pf doc by doc — the round-2 'no per-doc
+    python in a hot path' contract extended to PhraseQuery."""
+    pdf, pos_map, tids, slop = pp
+    idf_sum, avgdl = 1.7, AVGDL
+    got_ids, got_scores = W.phrase_topk_shard(
+        pdf, tids, "content", idf_sum, avgdl, k, slop=slop
+    )
+    # per-doc reference: intersect, then _sloppy_pf per doc
+    common = set(pos_map[tids[0]])
+    for t in tids[1:]:
+        common &= set(pos_map[t])
+    ref = []
+    for doc in sorted(common):
+        pf = W._sloppy_pf(
+            [np.asarray(pos_map[t][doc], dtype=np.int64) for t in tids],
+            slop,
+        )
+        if pf > 0.0:
+            dl = 41.0
+            ref.append(
+                (doc, idf_sum * float(bm25.tf_norm(pf, dl, avgdl)))
+            )
+    ref.sort(key=lambda r: (-r[1], r[0]))
+    ref = ref[:k]
+    assert got_ids.tolist() == [d for d, _s in ref]
+    np.testing.assert_allclose(
+        got_scores, [s for _d, s in ref], rtol=1e-9
+    )
