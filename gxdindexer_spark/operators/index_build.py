@@ -412,24 +412,66 @@ class IndexBuilder:
             if append
             else (set(done) | _artifact_shards(index_dir)) - set(shard_fp)
         )
-        for s in sorted(orphans):
-            for art in ("docs", "doc_stats", "dict_parts", "postings"):
-                shutil.rmtree(
-                    f"{index_dir}/{art}/shard={s}", ignore_errors=True
-                )
-            done.pop(s, None)
         pending = sorted(
             s
             for s, f in shard_fp.items()
             if not (resume and done.get(s, {}).get("input_fingerprint") == f
                     and done.get(s, {}).get("status") == "done")
         )
+        # ---- incremental-finalize eligibility (north_rule: an append
+        # or streaming micro-batch must not pay O(index) to commit).
+        # Kept entries = shards untouched by this build; incremental
+        # needs their per-field stats in the ledger (legacy indexes
+        # without them fall back to the full re-aggregation) and an
+        # existing dictionary to merge into.
+        kept_entries = {
+            s: e
+            for s, e in done.items()
+            if s not in set(pending)
+            and s not in orphans
+            and (append or s in shard_fp)
+        }
+        stats_incremental = bool(kept_entries) and all(
+            "field_stats" in e for e in kept_entries.values()
+        )
+        dict_incremental = (
+            stats_incremental
+            and os.path.isdir(f"{index_dir}/dictionary")
+            and os.path.isdir(f"{index_dir}/corpus_stats")
+        )
+        # changed shards that already have artifacts: their OLD
+        # dictionary contributions must be SUBTRACTED in the merge —
+        # capture them before the wipe (localCheckpoint materializes
+        # the negated partials so the deletes below can't unseat them)
+        old_neg = None
+        if dict_incremental:
+            changed_existing = sorted(
+                (set(pending) | orphans) & _artifact_shards(index_dir)
+            )
+            if changed_existing:
+                old_neg = (
+                    spark.read.parquet(f"{index_dir}/dict_parts")
+                    .filter(F.col("shard").isin(changed_existing))
+                    .groupBy("field", "term", "term_id")
+                    .agg(
+                        (-F.sum("df")).alias("df"),
+                        (-F.sum("cf")).alias("cf"),
+                    )
+                    .localCheckpoint()
+                )
+        for s in sorted(orphans):
+            for art in ("docs", "doc_stats", "dict_parts", "postings"):
+                shutil.rmtree(
+                    f"{index_dir}/{art}/shard={s}", ignore_errors=True
+                )
+            done.pop(s, None)
         metrics = {
             "shards_total": len(shard_fp),
             "shards_built": len(pending),
             "shards_skipped": len(shard_fp) - len(pending),
         }
         avgdl: dict[str, float] = {}
+        delta_field_stats: dict[int, dict[str, dict]] = {}
         if pending:
             # a crashed prior run may have left partial shard partitions;
             # wipe pending shards' artifacts so append stays exactly-once
@@ -472,18 +514,32 @@ class IndexBuilder:
                 .parquet(f"{index_dir}/dict_parts")
             )
             mark("tokenize+doc_stats_write")
-            # avgdl must be GLOBAL (all shards incl. previously built)
-            all_stats = spark.read.parquet(f"{index_dir}/doc_stats")
-            cs = (
-                all_stats.groupBy("field")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("dl").alias("sum_dl"),
-                    (F.sum("dl") / F.count("*")).alias("avgdl"),
-                )
+            # per-(shard, field) stats of the DELTA: tiny agg over the
+            # persisted tf, kept in the ledger so future builds derive
+            # global stats without scanning doc_stats
+            for r in (
+                doc_stats.groupBy("shard", "field")
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
                 .collect()
-            )
-            avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+            ):
+                delta_field_stats.setdefault(int(r["shard"]), {})[
+                    r["field"]
+                ] = {"n_docs": int(r["n"]), "sum_dl": int(r["s"])}
+            # avgdl must be GLOBAL (all shards incl. previously built):
+            # kept shards contribute via their ledger field_stats (no
+            # doc_stats scan — O(delta) input); legacy ledgers without
+            # field_stats pay the full scan once
+            if stats_incremental or not kept_entries:
+                totals = _field_totals(kept_entries, delta_field_stats)
+                avgdl = {f: t[1] / t[0] for f, t in totals.items() if t[0]}
+            else:
+                all_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+                cs = (
+                    all_stats.groupBy("field")
+                    .agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+                    .collect()
+                )
+                avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
             mark("corpus_stats")
             postings = self.postings_df(tf, avgdl)
             postings.write.mode("append").partitionBy("shard").parquet(
@@ -495,11 +551,24 @@ class IndexBuilder:
         # (the common "is it up to date?" probe) skips the dictionary
         # re-agg + collision check + corpus_stats rewrite entirely.
         changed = bool(pending) or bool(orphans)
+        finalize_mode = "skipped"
         if changed or not (
             os.path.isdir(f"{index_dir}/dictionary")
             and os.path.isdir(f"{index_dir}/corpus_stats")
         ):
-            self._finalize_stats(spark, index_dir)
+            field_totals = (
+                _field_totals(kept_entries, delta_field_stats)
+                if (stats_incremental or not kept_entries)
+                else None
+            )
+            finalize_mode = self._finalize_stats(
+                spark,
+                index_dir,
+                pending=pending if dict_incremental else None,
+                old_neg=old_neg,
+                field_totals=field_totals,
+            )
+        metrics["finalize_mode"] = finalize_mode
         mark("finalize")
         wall_ms = int((time.monotonic() - t0) * 1000)
 
@@ -540,6 +609,10 @@ class IndexBuilder:
                 # was computed; the WAND path disables block pruning
                 # (falls back to exact TAAT) if global avgdl drifted.
                 "avgdl_at_build": avgdl,
+                # per-field (n_docs, sum_dl) of THIS shard: later
+                # builds derive global avgdl/corpus_stats by summing
+                # ledger entries instead of scanning doc_stats
+                "field_stats": delta_field_stats.get(s, {}),
             }
         self._write_ledger(index_dir, entries)
         total_docs = sum(v["n_docs"] for v in built.values())
@@ -589,14 +662,72 @@ class IndexBuilder:
         os.replace(manifest_tmp, f"{index_dir}/manifest.json")
         return metrics
 
-    def _finalize_stats(self, spark: SparkSession, index_dir: str) -> None:
-        """(Re)derive global dictionary + corpus_stats from artifacts —
-        correct under resume because they aggregate ALL shards."""
-        parts = spark.read.parquet(f"{index_dir}/dict_parts")
-        dictionary = parts.groupBy("field", "term", "term_id").agg(
-            F.sum("df").alias("df"), F.sum("cf").alias("cf")
-        )
-        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+    def _finalize_stats(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        pending: list[int] | None = None,
+        old_neg: DataFrame | None = None,
+        field_totals: dict[str, list[int]] | None = None,
+    ) -> str:
+        """(Re)derive global dictionary + corpus_stats. Returns the
+        mode used ("incremental" or "full").
+
+        Incremental (``pending`` is not None): merge the CHANGED
+        shards' dict_parts into the existing dictionary — prior
+        dictionary rows, minus the changed shards' old contributions
+        (``old_neg``, captured before the wipe), plus the rebuilt
+        shards' new partials (a shard-pruned dict_parts scan) — summed
+        by key, zero-df terms dropped. Input read is O(delta shards) +
+        one pass over the prior dictionary (O(vocab), unavoidable for
+        a merge), NOT O(all shards' dict_parts): a streaming
+        micro-batch commits in time proportional to its own size. The
+        swap is marker-bracketed like compaction (crash-safe).
+
+        corpus_stats: written from ``field_totals`` (per-shard sums
+        carried in the ledger) when available — no doc_stats scan;
+        falls back to the full aggregation for legacy ledgers.
+        """
+        mode = "incremental" if pending is not None else "full"
+        if pending is not None:
+            prior = spark.read.parquet(f"{index_dir}/dictionary").select(
+                "field", "term", "term_id", "df", "cf"
+            )
+            merged = prior
+            if old_neg is not None:
+                merged = merged.unionByName(old_neg)
+            if pending:
+                delta = (
+                    spark.read.parquet(f"{index_dir}/dict_parts")
+                    .filter(F.col("shard").isin(sorted(pending)))
+                    .select("field", "term", "term_id", "df", "cf")
+                )
+                merged = merged.unionByName(delta)
+            merged = (
+                merged.groupBy("field", "term", "term_id")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .filter(F.col("df") > 0)
+            )
+            tmp = f"{index_dir}/.dictionary_compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(tmp)
+            old = f"{index_dir}/.dictionary_old"
+            shutil.rmtree(old, ignore_errors=True)
+            marker = f"{index_dir}/.dictionary_swap.marker"
+            with open(marker, "w") as fh:
+                json.dump({"artifact": "dictionary"}, fh)
+            os.rename(f"{index_dir}/dictionary", old)
+            os.rename(tmp, f"{index_dir}/dictionary")
+            os.remove(marker)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            parts = spark.read.parquet(f"{index_dir}/dict_parts")
+            dictionary = parts.groupBy("field", "term", "term_id").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            )
+            dictionary.write.mode("overwrite").parquet(
+                f"{index_dir}/dictionary"
+            )
         # term_id collision check (functions/hashing.py): two distinct
         # terms hashing to one id would silently merge posting lists.
         clash = (
@@ -611,17 +742,36 @@ class IndexBuilder:
                 f"{clash} term_id collisions detected — widen term_id "
                 "(hashing.py) before using this index"
             )
-        doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
-        (
-            doc_stats.groupBy("field")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-                (F.sum("dl") / F.count("*")).alias("avgdl"),
+        if field_totals is not None:
+            rows = [
+                (f, int(t[0]), int(t[1]), t[1] / t[0])
+                for f, t in sorted(field_totals.items())
+                if t[0]
+            ]
+            schema = T.StructType(
+                [
+                    T.StructField("field", T.StringType(), False),
+                    T.StructField("n_docs", T.LongType(), False),
+                    T.StructField("sum_dl", T.LongType(), False),
+                    T.StructField("avgdl", T.DoubleType(), False),
+                ]
             )
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/corpus_stats")
-        )
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/corpus_stats")
+        else:
+            doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+            (
+                doc_stats.groupBy("field")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                    (F.sum("dl") / F.count("*")).alias("avgdl"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/corpus_stats")
+            )
+        return mode
 
     def _shard_metrics(
         self, spark: SparkSession, index_dir: str, shards: list[int]
@@ -667,6 +817,27 @@ class IndexBuilder:
         with open(tmp, "w") as fh:
             json.dump({str(s): e for s, e in entries.items()}, fh)
         os.replace(tmp, path)  # atomic commit of the lineage record
+
+
+def _field_totals(
+    kept_entries: dict[int, dict],
+    delta_field_stats: dict[int, dict[str, dict]],
+) -> dict[str, list[int]]:
+    """Global per-field [n_docs, sum_dl] = kept shards' ledger
+    field_stats + this build's delta aggregates — replaces the
+    all-shards doc_stats scan with O(1) driver arithmetic."""
+    totals: dict[str, list[int]] = {}
+    for e in kept_entries.values():
+        for f, st in e["field_stats"].items():
+            t = totals.setdefault(f, [0, 0])
+            t[0] += int(st["n_docs"])
+            t[1] += int(st["sum_dl"])
+    for per in delta_field_stats.values():
+        for f, st in per.items():
+            t = totals.setdefault(f, [0, 0])
+            t[0] += st["n_docs"]
+            t[1] += st["sum_dl"]
+    return totals
 
 
 class ConcurrentWriteError(RuntimeError):

