@@ -740,15 +740,20 @@ def embedding_neardup_lsh_q(spark, sf_dir):
 
 
 def multimodal_features_q(spark, sf_dir):
-    """Binary media -> deterministic fake feature vectors via
-    mapInPandas (decode stubbed; plumbing real) -> rows-only check."""
+    """Binary media -> deterministic feature vectors via mapInPandas
+    (decode stubbed behind the same Arrow plumbing a model call would
+    use). The fake features are md5-seeded from the media bytes and
+    computed in float64 left-to-right, so the DuckDB oracle hash-
+    matches — the ANN-plane-oracle technique applied to multimodal."""
     from gxdindexer_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(d, "text")
     feats = multimodal.extract_features(media, dim=8)
     return feats.select(
-        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
     )
 
 
@@ -1033,6 +1038,31 @@ s AS (SELECT cand.vec_id, {_COS.format(a="cand.e", b="q.qv")} AS sc
       FROM cand, q)
 SELECT vec_id, round(sc, 6) AS cos FROM s
 ORDER BY sc DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _multimodal_features_sql(dim: int = 8) -> str:
+    """DuckDB twin of multimodal.extract_features' hash-seeded fake:
+    seed = md5(utf8 bytes of text); u_i = int(md5(seed:i)[:15], 16)
+    / 2^60 (BIGINT->double then an EXACT power-of-two scale, so both
+    sides round identically); norm sums squares left-to-right like the
+    python loop. Empty text -> zero vector (matches the decoder
+    guard)."""
+    u_cols = ", ".join(
+        f"CAST(('0x' || substr(md5(s || ':{i}'), 1, 15)) AS BIGINT)"
+        f" / 1152921504606846976.0 AS u{i}"
+        for i in range(dim)
+    )
+    norm = " + ".join(f"u{i} * u{i}" for i in range(dim))
+    return f"""
+WITH seed AS (SELECT doc_id, coalesce(text, '') AS t,
+                     md5(coalesce(text, '')) AS s FROM documents),
+u AS (SELECT doc_id, t, {u_cols} FROM seed),
+n AS (SELECT *, sqrt({norm}) AS nm FROM u)
+SELECT doc_id,
+       CASE WHEN t = '' THEN 0.0 ELSE round(u0 / nm, 6) END AS f0,
+       CASE WHEN t = '' THEN 0.0 ELSE round(u{dim - 1} / nm, 6) END AS f7
+FROM n
 """
 
 
@@ -1521,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS media_sha256
             FROM documents
         """,
+        "multimodal_features": _multimodal_features_sql(dim=8),
         # ANN: the md5-seeded hyperplanes / strided centroid sample make
         # the candidate sets SQL-reproducible — full hash-match oracles.
         "ann_lsh_topk": _ann_lsh_sql(k=10, probes=3),

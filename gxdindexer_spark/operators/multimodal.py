@@ -40,7 +40,7 @@ MEDIA_SCHEMA = T.StructType(
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -80,22 +80,41 @@ def decode_media(media: bytes, fmt: str):
 
 def extract_features(media_df: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic fake feature extractor with REAL plumbing: Arrow
-    batches in, numpy byte-histogram 'embedding' out via mapInPandas.
-    Swap `_featurize` for a model call in a real deployment."""
+    batches in, unit-norm double vectors out via mapInPandas. Swap
+    ``_featurize`` for a model call in a real deployment — the batch
+    shape, schema, and partitioning are exactly what it would use.
 
-    def _featurize(b: bytes | None) -> np.ndarray:
-        if not b:
-            return np.zeros(dim, dtype=np.float32)
-        arr = np.frombuffer(b, dtype=np.uint8)
-        hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-        n = np.linalg.norm(hist)
-        return hist / n if n else hist
+    The fake is md5-seeded from the media BYTES (the same technique as
+    the ANN hyperplane oracle, similarity._hyperplane), computed in
+    float64 with left-to-right accumulation, so a DuckDB oracle
+    reproduces every value bit-for-bit: u_i = int(md5(seed:i)[:15],
+    16) / 2^60, f = u / ||u||. Empty/NULL media -> the zero vector
+    (a real decoder would reject it before the model)."""
+
+    def _featurize(b) -> list[float]:
+        if b is None or not len(b):
+            return [0.0] * dim
+        import math
+
+        seed = hashlib.md5(bytes(b)).hexdigest()
+        u = [
+            int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16
+            )
+            / float(1 << 60)
+            for i in range(dim)
+        ]
+        acc = 0.0
+        for v in u:  # left-to-right: the SQL twin sums the same order
+            acc += v * v
+        n = math.sqrt(acc)
+        return [v / n for v in u]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [ _featurize(b) for b in pdf["media"] ]
+            feats = [_featurize(b) for b in pdf["media"]]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "features": feats}
             )
