@@ -42,6 +42,9 @@ def _docs_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
         F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha256"),
         (F.col("doc_id") / 1000).cast("int").alias("shard"),
+        # facet attribute rides in the per-shard doc store so facet
+        # counts resolve shard-locally (query.facet_counts_stored)
+        F.col("source"),
     )
 
 
@@ -53,7 +56,10 @@ def _index_dir_for(sf_dir: str) -> str:
     from gxdindexer_spark import schemas
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    ver = hashlib.md5(str(schemas.POSTINGS).encode()).hexdigest()[:8]
+    # "r3": doc-store columns changed (facet attribute added)
+    ver = hashlib.md5(
+        ("r3:" + str(schemas.POSTINGS)).encode()
+    ).hexdigest()[:8]
     return f"/tmp/gxdidx_entry_{tag}_{ver}"
 
 
@@ -108,13 +114,13 @@ FACET_QUERY = "st* join"
 def facet_counts_q(spark, sf_dir):
     """Facet counts over the match set grouped by a doc attribute —
     the reference's GxdResultHasImageIndexer / matrix-group-key
-    pattern served straight off the index."""
+    pattern served straight off the index. SHARD-LOCAL: the facet
+    column lives in the per-shard doc store, so counts resolve inside
+    the per-shard scoring pass and only tiny count rows shuffle
+    (query.facet_counts_stored)."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source"
-    )
-    return eng.facet_counts(FACET_QUERY, d, by="source")
+    return eng.facet_counts_stored(FACET_QUERY, by="source")
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:

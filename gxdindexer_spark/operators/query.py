@@ -524,6 +524,68 @@ class IndexQueryEngine:
             .agg(F.count("*").alias("n_docs"))
         )
 
+    def facet_counts_stored(
+        self,
+        query: str,
+        by: str,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Facet counts with ZERO match-set shuffle: ``by`` is a column
+        of the per-shard doc store, and shards partition docID space,
+        so each shard's `applyInPandas` worker counts its own matches
+        against a direct columnar read of ITS doc-store partition
+        (pyarrow, column-pruned + partition-pruned by construction —
+        the path is `docs/shard=<s>`), and per-shard counts simply SUM.
+        The facet table never enters a Spark scan or exchange: the
+        only shuffled rows are the query terms' postings (scatter) and
+        <= shards x distinct-facet-values tiny count rows (gather) —
+        the ``count_matches`` trick generalized per VERDICT r2 #5.
+
+        The reference materialized a whole clone index to serve this
+        count (GxdResultHasImageIndexer.java:25-32); here the doc store
+        IS that materialization. On a cluster the doc store lives on
+        the shared filesystem/object store, readable from any executor.
+        Use ``facet_counts`` for facet tables NOT in the doc store.
+        """
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField(by, T.StringType(), True),
+                T.StructField("n_docs", T.LongType(), False),
+            ]
+        )
+        if not spec.term_weights:
+            return self.spark.createDataFrame([], out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_facets(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            empty = pd.DataFrame({by: [], "n_docs": []}).astype(
+                {by: "object", "n_docs": "int64"}
+            )
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            tbl = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=["doc_id", by]
+            )
+            store = tbl.to_pandas()
+            hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
+            if not len(hit):
+                return empty
+            vc = hit[by].astype(str).value_counts()
+            return pd.DataFrame(
+                {by: vc.index.to_numpy(), "n_docs": vc.to_numpy("int64")}
+            )
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_facets, schema=out_schema
+        )
+        return local.groupBy(by).agg(F.sum("n_docs").alias("n_docs"))
+
     def highlight_topk(
         self,
         query: str,

@@ -871,3 +871,48 @@ def test_incremental_finalize_matches_full(built, spark, tmpdir_idx):
     eng = IndexQueryEngine(spark, tmpdir_idx)
     got = eng.topk("getIndexList if return", k=10, mode="taat").collect()
     assert len(got) > 0
+
+
+def test_facet_counts_stored_shard_local(built, spark):
+    """facet_counts_stored: same counts as the join-based path and the
+    python match-set oracle, with exactly ONE Spark file scan (the
+    postings) in the plan — the facet table never enters a Spark scan
+    or exchange; per-shard workers count against direct columnar reads
+    of their own doc-store partition and the counts sum."""
+    import contextlib
+    import io
+
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    res = eng.facet_counts_stored("merge* if", by="lang", fields=["content"])
+    got = {r["lang"]: r["n_docs"] for r in res.collect()}
+    toks = {
+        int(d): set(t)
+        for d, t in zip(pdocs["doc_id"], analyze.code_tokens(pdocs["content"]))
+    }
+    langs = dict(zip(pdocs["doc_id"].astype(int), pdocs["lang"]))
+    expect: dict = {}
+    for d, ts in toks.items():
+        if "if" in ts or any(t.startswith("merge") for t in ts):
+            expect[langs[d]] = expect.get(langs[d], 0) + 1
+    assert got == expect and got
+    # join-based path agrees
+    facets = spark.createDataFrame(pdocs[["doc_id", "lang"]])
+    joined = {
+        r["lang"]: r["n_docs"]
+        for r in eng.facet_counts(
+            "merge* if", facets, by="lang", fields=["content"]
+        ).collect()
+    }
+    assert got == joined
+    # plan shape: one parquet scan total (postings); no facet-side scan
+    # (AQE prints the tree twice + node details -> count in the final
+    # tree only, and assert the doc store path is absent everywhere)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    final_tree = plan.split("== Initial Plan ==")[0]
+    assert final_tree.count("Scan parquet") == 1, plan
+    locations = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert locations and all("postings" in ln for ln in locations), plan
