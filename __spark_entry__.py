@@ -160,6 +160,31 @@ def bm25_topk_hydrated(spark, sf_dir):
     )
 
 
+DELETE_IDS = [1, 3, 77]
+
+
+def bm25_after_delete(spark, sf_dir):
+    """Doc-level delete: tombstoned ids rebuild only their shards
+    (index_build.delete_docs), then the SAME BM25 query runs against
+    the post-delete index — oracle scores over documents minus the
+    tombstones. Re-running restores then re-deletes deterministically
+    (fingerprints localize both)."""
+    from gxdindexer_spark.operators.index_build import delete_docs
+
+    idx = _index_dir_for(sf_dir) + "_del"
+    builder = IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+    )
+    builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
+    delete_docs(spark, idx, builder, DELETE_IDS, assume_dense_shards=True)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(BM25_QUERY, k=BM25_K, mode="taat")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sharded index build + block-max WAND BM25 top-k."""
     return _bm25_index(spark, "/root/testdata/sf0.001", "wand")
@@ -801,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_brute": bm25_brute,
         "bm25_index_taat": bm25_index_taat,
         "bm25_index_wand": bm25_index_wand,
+        "bm25_after_delete": bm25_after_delete,
         "bm25_wildcard": bm25_wildcard,
         "bm25_boolean": bm25_boolean,
         "bm25_phrase": bm25_phrase,
@@ -840,12 +866,25 @@ _TOKS_CTE = (
     "FROM documents)"
 )
 
-def _bm25_sql(term_cond: str, k: int = BM25_K, bool_where: str = "") -> str:
+def _bm25_sql(
+    term_cond: str,
+    k: int = BM25_K,
+    bool_where: str = "",
+    docs_where: str = "",
+) -> str:
     """BM25 oracle generator: ``term_cond`` selects the scoring terms
     (IN-list or LIKE for wildcard rewrite); ``bool_where`` appends
-    boolean-clause filters over the scored docs."""
+    boolean-clause filters over the scored docs; ``docs_where``
+    restricts the corpus itself (e.g. post-delete tombstones) —
+    df/dl/avgdl all derive from the restricted corpus."""
+    toks_cte = (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),"
+        " x -> x <> '')) AS term "
+        f"FROM documents {docs_where})"
+    )
     return f"""
-{_TOKS_CTE},
+{toks_cte},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1344,6 +1383,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute": _BM25_SQL,
         "bm25_index_taat": _BM25_SQL,
         "bm25_index_wand": _BM25_SQL,
+        "bm25_after_delete": _bm25_sql(
+            _in_list(BM25_TERMS),
+            docs_where=(
+                "WHERE doc_id NOT IN ("
+                + ", ".join(str(i) for i in DELETE_IDS)
+                + ")"
+            ),
+        ),
         "bm25_wildcard": _bm25_sql("term LIKE 'st%' OR term = 'join'"),
         "bm25_boolean": _bm25_sql(
             _in_list(["table", "spark"]),

@@ -336,6 +336,7 @@ class IndexBuilder:
         index_dir: str,
         resume: bool = True,
         append: bool = False,
+        drop_shards: set[int] | None = None,
     ) -> dict:
         """Build (or resume) the index for ``docs`` into ``index_dir``.
 
@@ -344,7 +345,10 @@ class IndexBuilder:
         of being deleted as orphans. Shards PRESENT in the delta are
         upserted whole, so deltas must arrive in complete docID-range
         units. Fingerprints make replayed deltas no-ops (exactly-once
-        commits over at-least-once delivery).
+        commits over at-least-once delivery). ``drop_shards`` forces
+        the named shards through the orphan-removal path even in
+        append mode — the doc-level delete hook (``delete_docs``) uses
+        it for shards whose every document was tombstoned.
 
         Returns a metrics dict (docs/sec, postings/sec, bytes).
         Resumability (north_rule): per-shard lineage entries are written
@@ -360,7 +364,9 @@ class IndexBuilder:
         """
         os.makedirs(index_dir, exist_ok=True)
         with _WriterLock(index_dir):
-            return self._build_locked(docs, index_dir, resume, append)
+            return self._build_locked(
+                docs, index_dir, resume, append, drop_shards
+            )
 
     def _build_locked(
         self,
@@ -368,6 +374,7 @@ class IndexBuilder:
         index_dir: str,
         resume: bool,
         append: bool = False,
+        drop_shards: set[int] | None = None,
     ) -> dict:
         spark = docs.sparkSession
         t0 = time.monotonic()
@@ -411,7 +418,7 @@ class IndexBuilder:
             set()
             if append
             else (set(done) | _artifact_shards(index_dir)) - set(shard_fp)
-        )
+        ) | set(drop_shards or ())
         pending = sorted(
             s
             for s, f in shard_fp.items()
@@ -817,6 +824,87 @@ class IndexBuilder:
         with open(tmp, "w") as fh:
             json.dump({str(s): e for s, e in entries.items()}, fh)
         os.replace(tmp, path)  # atomic commit of the lineage record
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    builder: "IndexBuilder",
+    doc_ids,
+    assume_dense_shards: bool = False,
+) -> dict:
+    """Doc-level delete: rebuild ONLY the shards containing the
+    tombstoned docs; shards emptied entirely are dropped through the
+    orphan path. Everything downstream stays consistent: postings,
+    doc store, dictionary (incremental subtract+add merge), corpus
+    stats/avgdl, snapshot lineage — and queries on the index exclude
+    the deleted docs immediately.
+
+    The reference's only answer to a deleted record is a scheduled
+    full rebuild (Indexer.java:83-88 deleteByQuery + re-ingest);
+    fingerprints already localize change to shards, so a delete is
+    just "rebuild the affected shards from their surviving docs".
+
+    Locating the affected shards costs one column-pruned doc-store
+    scan with the doc_id IN-list pushed down; pass
+    ``assume_dense_shards=True`` when shard == doc_id //
+    manifest.docs_per_shard (the layout every job in this repo uses)
+    to also push a shard IN-list — partition-pruned, O(tombstones).
+
+    Idempotent: deleting already-absent ids is a no-op (their shards'
+    fingerprints are unchanged, so resume skips them).
+    """
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return {"docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0}
+    store = spark.read.parquet(f"{index_dir}/docs")
+    scoped = store
+    if assume_dense_shards:
+        with open(f"{index_dir}/manifest.json") as fh:
+            dps = int(json.load(fh).get("docs_per_shard") or 0)
+        if dps:
+            scoped = store.filter(
+                F.col("shard").isin(sorted({i // dps for i in ids}))
+            )
+    hit = (
+        scoped.filter(F.col("doc_id").isin(ids))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_del"))
+        .collect()
+    )
+    if not hit:
+        return {"docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0}
+    affected = {int(r["shard"]): int(r["n_del"]) for r in hit}
+    totals = {
+        int(r["shard"]): int(r["n"])
+        for r in scoped.filter(F.col("shard").isin(sorted(affected)))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    emptied = {s for s, n in affected.items() if n == totals[s]}
+    rebuild = sorted(set(affected) - emptied)
+    # survivors materialize BEFORE the build wipes their partitions
+    survivors = (
+        store.filter(F.col("shard").isin(rebuild))
+        .filter(~F.col("doc_id").isin(ids))
+        .localCheckpoint()
+        if rebuild
+        else spark.createDataFrame([], store.schema)
+    )
+    metrics = builder.build(
+        survivors,
+        index_dir,
+        resume=True,
+        append=True,
+        drop_shards=emptied,
+    )
+    metrics.update(
+        docs_deleted=sum(affected.values()),
+        shards_rebuilt=len(rebuild),
+        shards_dropped=len(emptied),
+    )
+    return metrics
 
 
 def _field_totals(

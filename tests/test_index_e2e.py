@@ -916,3 +916,66 @@ def test_facet_counts_stored_shard_local(built, spark):
     assert final_tree.count("Scan parquet") == 1, plan
     locations = [ln for ln in plan.splitlines() if "Location" in ln]
     assert locations and all("postings" in ln for ln in locations), plan
+
+
+def test_doc_level_delete(built, spark, tmpdir_idx):
+    """Tombstone-driven delete: only the shards holding deleted docs
+    rebuild; a fully-emptied shard drops through the orphan path; the
+    dictionary/corpus stats merge incrementally; queries exclude the
+    deleted docs and match a from-scratch build of the survivors;
+    replayed deletes are no-ops."""
+    import tempfile
+
+    from gxdindexer_spark.operators.index_build import delete_docs
+
+    _idx, docs, pdocs, _m = built
+    builder = IndexBuilder(docs_per_shard=100, salt_range=64, block_size=16)
+    builder.build(docs, tmpdir_idx, resume=True)
+
+    # deleted: a few docs from shards 0/1 + ALL of shard 3
+    ids = [5, 150, 151] + list(range(300, 400))
+    m = delete_docs(
+        spark, tmpdir_idx, builder, ids, assume_dense_shards=True
+    )
+    assert m["docs_deleted"] == len(ids)
+    assert m["shards_rebuilt"] == 2 and m["shards_dropped"] == 1
+    assert m["finalize_mode"] == "incremental"
+    assert not os.path.isdir(f"{tmpdir_idx}/postings/shard=3")
+
+    survivors = docs.filter(~F.col("doc_id").isin(ids))
+    ref = tempfile.mkdtemp(prefix="gxdidx_delref_")
+    builder.build(survivors, ref, resume=False)
+    for art in ("dictionary", "corpus_stats"):
+        a = (
+            spark.read.parquet(f"{tmpdir_idx}/{art}")
+            .orderBy(*spark.read.parquet(f"{ref}/{art}").columns[:2])
+            .toPandas()
+        )
+        b = (
+            spark.read.parquet(f"{ref}/{art}")
+            .orderBy(*spark.read.parquet(f"{ref}/{art}").columns[:2])
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    # queries: identical results, deleted docs absent
+    e1 = IndexQueryEngine(spark, tmpdir_idx)
+    e2 = IndexQueryEngine(spark, ref)
+    for q in QUERIES[:3]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in e1.topk(q, k=15, mode="taat").collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in e2.topk(q, k=15, mode="taat").collect()
+        ]
+        assert got == want
+        assert not {d for d, _s in got} & set(ids)
+
+    # replayed delete: nothing to do
+    m2 = delete_docs(
+        spark, tmpdir_idx, builder, ids, assume_dense_shards=True
+    )
+    assert m2["docs_deleted"] == 0
+    assert m2["shards_rebuilt"] == 0 and m2["shards_dropped"] == 0
