@@ -596,6 +596,7 @@ def bm25_index_wand(spark, sf_dir):
 
 
 WILDCARD_QUERY = "st* join"  # prefix rewrite + plain term
+LEADING_WILDCARD_QUERY = "*ble join"  # suffix rewrite (reversed dict)
 BOOLEAN_QUERY = "+table -merge spark"  # must / must_not / should
 
 
@@ -603,6 +604,16 @@ def bm25_wildcard(spark, sf_dir):
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
     hits = eng.topk(WILDCARD_QUERY, k=BM25_K, mode="taat")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def bm25_wildcard_leading(spark, sf_dir):
+    """Leading wildcard (*ble): rewrite via the reversed-term
+    dictionary (Lucene ReversedWildcardFilter analog) — a pushed-down
+    rev_term range scan, bounded like the forward prefix."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(LEADING_WILDCARD_QUERY, k=BM25_K, mode="taat")
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -828,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_wand": bm25_index_wand,
         "bm25_after_delete": bm25_after_delete,
         "bm25_wildcard": bm25_wildcard,
+        "bm25_wildcard_leading": bm25_wildcard_leading,
         "bm25_boolean": bm25_boolean,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_sloppy": bm25_phrase_sloppy,
@@ -1392,6 +1404,9 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "bm25_wildcard": _bm25_sql("term LIKE 'st%' OR term = 'join'"),
+        "bm25_wildcard_leading": _bm25_sql(
+            "term LIKE '%ble' OR term = 'join'"
+        ),
         "bm25_boolean": _bm25_sql(
             _in_list(["table", "spark"]),
             bool_where=(

@@ -735,6 +735,24 @@ class IndexBuilder:
             dictionary.write.mode("overwrite").parquet(
                 f"{index_dir}/dictionary"
             )
+        # reversed-term dictionary: the Lucene ReversedWildcardFilter
+        # analog — leading wildcards (*fix) become a PREFIX range scan
+        # over rev_term, pushed to the parquet source like the forward
+        # prefix path (query.expand_suffix). Sorted by (field,
+        # rev_term) so row-group min/max stats prune the range.
+        (
+            spark.read.parquet(f"{index_dir}/dictionary")
+            .select(
+                "field",
+                F.reverse(F.col("term")).alias("rev_term"),
+                "term",
+                "term_id",
+                "df",
+            )
+            .sortWithinPartitions("field", "rev_term")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/dictionary_rev")
+        )
         # term_id collision check (functions/hashing.py): two distinct
         # terms hashing to one id would silently merge posting lists.
         clash = (

@@ -22,6 +22,7 @@ as a broadcast QuerySpec.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -73,6 +74,11 @@ class IndexQueryEngine:
         # dirs the per-query listing would dominate latency.
         self._postings = spark.read.parquet(f"{index_dir}/postings")
         self._dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self._dictionary_rev = (
+            spark.read.parquet(f"{index_dir}/dictionary_rev")
+            if os.path.isdir(f"{index_dir}/dictionary_rev")
+            else None
+        )
         self._dict_cache: dict[tuple[str, str], int] | None = None
         if preload_dictionary:
             d = self._dictionary
@@ -110,12 +116,15 @@ class IndexQueryEngine:
     # ------------------------------------------------------------ plan
 
     @staticmethod
-    def parse_query(query: str) -> list[tuple[str, str, bool]]:
-        """Lite Lucene-style syntax -> [(raw_token, kind, is_prefix)].
+    def parse_query(query: str) -> list[tuple[str, str, str]]:
+        """Lite Lucene-style syntax -> [(raw_token, kind, wildcard)].
 
         kind: 'should' (default), 'must' ('+tok'), 'must_not' ('-tok');
-        a trailing '*' marks prefix/wildcard expansion. Parsed BEFORE
-        analysis (the analyzers strip punctuation)."""
+        wildcard: '' (plain term), 'prefix' ('tok*'), or 'suffix'
+        ('*tok' — leading wildcard, served by the reversed-term
+        dictionary). Infix ('*to*'/'t*k') is not supported — raise
+        rather than silently mis-match. Parsed BEFORE analysis (the
+        analyzers strip punctuation)."""
         out = []
         for raw in query.split():
             kind = "should"
@@ -123,16 +132,25 @@ class IndexQueryEngine:
                 kind, raw = "must", raw[1:]
             elif raw.startswith("-"):
                 kind, raw = "must_not", raw[1:]
-            is_prefix = raw.endswith("*")
-            if is_prefix:
-                raw = raw[:-1]
-                if not raw:
-                    # a bare '*' would expand to the whole dictionary
-                    raise ValueError(
-                        "empty wildcard prefix ('*') is not allowed"
-                    )
+            wildcard = ""
+            if raw == "*":
+                # a bare '*' would expand to the whole dictionary
+                raise ValueError("empty wildcard ('*') is not allowed")
+            if raw.endswith("*") and raw.startswith("*"):
+                raise ValueError(
+                    f"infix/double wildcard {raw!r} is not supported"
+                )
+            if raw.endswith("*"):
+                wildcard, raw = "prefix", raw[:-1]
+            elif raw.startswith("*"):
+                wildcard, raw = "suffix", raw[1:]
+            if wildcard and not raw:
+                # a bare '*' would expand to the whole dictionary
+                raise ValueError(
+                    "empty wildcard ('*') is not allowed"
+                )
             if raw:
-                out.append((raw, kind, is_prefix))
+                out.append((raw, kind, wildcard))
         return out
 
     def analyze_query(self, query: str, fields: list[str] | None = None):
@@ -186,6 +204,50 @@ class IndexQueryEngine:
             d = d.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
         return sorted(r["term"] for r in d.select("term").collect())
 
+    def expand_suffix(
+        self,
+        field: str,
+        suffix: str,
+        max_expansions: int | None = MAX_EXPANSIONS,
+    ) -> list[str]:
+        """Leading-wildcard rewrite: terms ENDING with ``suffix`` —
+        the Lucene ReversedWildcardFilter analog. The index side is
+        ``dictionary_rev`` (field, rev_term, term, df) written at
+        finalize, so the lookup is the SAME pushed-down range
+        predicate the forward prefix uses, just over rev_term —
+        never a full-dictionary regex scan. Bounded like
+        ``expand_prefix`` (highest-df terms survive)."""
+        if not suffix:
+            raise ValueError("empty wildcard ('*') is not allowed")
+        if self._dict_cache is not None:
+            cands = sorted(
+                ((df, t) for (f, t), df in self._dict_cache.items()
+                 if f == field and t.endswith(suffix)),
+                key=lambda p: (-p[0], p[1]),
+            )
+            if max_expansions:
+                cands = cands[:max_expansions]
+            return sorted(t for _df, t in cands)
+        if self._dictionary_rev is None:
+            raise ValueError(
+                "index has no dictionary_rev artifact (built before "
+                "leading-wildcard support) — rebuild or rerun finalize"
+            )
+        rev = suffix[::-1]
+        hi = rev + chr(0x10FFFF)
+        d = (
+            self._dictionary_rev
+            .filter(
+                (F.col("field") == field)
+                & (F.col("rev_term") >= rev)
+                & (F.col("rev_term") < hi)
+            )
+            .select("term", "df")
+        )
+        if max_expansions:
+            d = d.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
+        return sorted(r["term"] for r in d.select("term").collect())
+
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf
         input. Driver cache when preloaded, else a term-pruned scan."""
@@ -208,13 +270,18 @@ class IndexQueryEngine:
         scoring_pairs: list[tuple[str, str]] = []
         must_groups: list[list[tuple[str, str]]] = []
         must_not_pairs: list[tuple[str, str]] = []
-        for raw, kind, is_prefix in self.parse_query(query):
+        for raw, kind, wildcard in self.parse_query(query):
             group: list[tuple[str, str]] = []
             for f in fields:
                 toks = analyze.tokenize_query(raw, self.fields[f])
-                if is_prefix:
+                if wildcard:
                     base = toks[0] if toks else raw.lower()
-                    group += [(f, t) for t in self.expand_prefix(f, base)]
+                    expand = (
+                        self.expand_prefix
+                        if wildcard == "prefix"
+                        else self.expand_suffix
+                    )
+                    group += [(f, t) for t in expand(f, base)]
                 else:
                     group += [(f, t) for t in toks]
             if kind == "must_not":

@@ -979,3 +979,64 @@ def test_doc_level_delete(built, spark, tmpdir_idx):
     )
     assert m2["docs_deleted"] == 0
     assert m2["shards_rebuilt"] == 0 and m2["shards_dropped"] == 0
+
+
+def test_leading_wildcard_expansion_and_ranking(built, spark):
+    """Leading wildcard (*fix): served by the reversed-term dictionary
+    with the SAME pushed-down range predicate the forward prefix uses
+    (PushedFilters on rev_term, never a full-dictionary regex scan);
+    ranking equals an explicit OR over the expanded terms."""
+    import contextlib
+    import io
+
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    # python truth: all content terms ending in 'ost' / 'turn' etc.
+    suffix = "t"
+    full = eng.expand_suffix("content", suffix, max_expansions=None)
+    truth = sorted(
+        {
+            t
+            for (f, t) in eng._dict_cache
+            if f == "content" and t.endswith(suffix)
+        }
+    )
+    assert full == truth and truth
+    # bounded: df-heaviest survive
+    dfs = {
+        t: df
+        for (f, t), df in eng._dict_cache.items()
+        if f == "content" and t.endswith(suffix)
+    }
+    capped = eng.expand_suffix("content", suffix, max_expansions=5)
+    assert capped == sorted(sorted(dfs, key=lambda t: (-dfs[t], t))[:5])
+    # uncached path: reversed-dictionary range scan, pushed down
+    eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+    assert eng2.expand_suffix("content", suffix, max_expansions=5) == capped
+    rev = suffix[::-1]
+    d = eng2._dictionary_rev.filter(
+        (F.col("field") == "content")
+        & (F.col("rev_term") >= rev)
+        & (F.col("rev_term") < rev + chr(0x10FFFF))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        d.explain("formatted")
+    pushed = [
+        ln for ln in buf.getvalue().splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed and "rev_term" in pushed[0]
+
+    # e2e: '*<suffix> if' ranks exactly like the explicit OR expansion
+    got = eng.topk(f"*turn if", k=10, mode="taat", fields=["content"])
+    expansion = eng.expand_suffix("content", "turn", max_expansions=None)
+    explicit = eng.topk(
+        " ".join(expansion + ["if"]), k=10, mode="taat", fields=["content"]
+    )
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (r["doc_id"], r["score"]) for r in explicit.collect()
+    ]
+
+    # infix stays rejected
+    with pytest.raises(ValueError, match="infix"):
+        eng.parse_query("*mid*")
