@@ -121,6 +121,9 @@ def main() -> int:
     eng.topk("st* join", k=20, mode="taat").collect()
     timings["bm25_wildcard"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
+    eng.topk("*ble join", k=20, mode="taat").collect()
+    timings["bm25_wildcard_leading"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     eng.topk("+table -merge spark", k=20).collect()
     timings["bm25_boolean"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
@@ -153,6 +156,11 @@ def main() -> int:
     t0 = time.monotonic()
     eng.facet_counts("st* join", facets, by="source").collect()
     timings["facet_counts"] = round(time.monotonic() - t0, 3)
+    # shard-local variant: counts resolve inside the per-shard pass
+    # against direct doc-store partition reads (no match-set shuffle)
+    t0 = time.monotonic()
+    eng.facet_counts_stored("st* join", by="source").collect()
+    timings["facet_counts_stored"] = round(time.monotonic() - t0, 3)
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:
@@ -185,6 +193,35 @@ def main() -> int:
     t0 = time.monotonic()
     aidx.lsh_neardup_pairs(threshold=0.3).count()
     timings["embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
+    # banded fan-in-bounded variant (id-only candidates, then hydrate)
+    t0 = time.monotonic()
+    aidx.lsh_neardup_pairs_banded(
+        threshold=0.3, bands=3, rows_per_band=2
+    ).count()
+    timings["embedding_neardup_banded"] = round(time.monotonic() - t0, 3)
+
+    # ------------------------------------- incremental index maintenance
+    # append ONE new shard: the commit must cost O(delta) — the
+    # incremental finalize merges only the delta's dict partials
+    from gxdindexer_spark.operators.index_build import delete_docs
+
+    n_sh = build_metrics["shards_total"]
+    delta = (
+        entrymod._docs_for_index(spark, SF_DIR)
+        .filter(F.col("shard") == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n_sh * 1000))
+        .withColumn("shard", (F.col("doc_id") / 1000).cast("int"))
+    )
+    t0 = time.monotonic()
+    m_app = builder.build(delta, idx_dir, resume=True, append=True)
+    timings["index_append_1shard"] = round(time.monotonic() - t0, 3)
+    assert m_app["finalize_mode"] == "incremental", m_app
+    # doc-level delete: rebuild only the shards holding the tombstones
+    t0 = time.monotonic()
+    delete_docs(
+        spark, idx_dir, builder, [10, 11, 1500], assume_dense_shards=True
+    )
+    timings["delete_docs_2shards"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")

@@ -89,6 +89,12 @@ def main() -> int:
     p.add_argument("--repeat", type=int, default=1,
                    help="reps per level; min wall wins (least-interference "
                         "sample — the sandbox host has noisy neighbors)")
+    p.add_argument("--max-load", type=float, default=0.0,
+                   help="loadavg gate: wait (up to --gate-timeout sec) "
+                        "until 1-min loadavg drops below this before each "
+                        "rep; 0 disables. Makes the measurement honest on "
+                        "a shared host instead of silently contended.")
+    p.add_argument("--gate-timeout", type=float, default=900.0)
     p.add_argument("--out", default="BENCH/BASELINE.md")
     p.add_argument("--single", help="internal: run ONE level, print JSON")
     args = p.parse_args()
@@ -123,17 +129,33 @@ def main() -> int:
                 return json.loads(line[len("RESULT:"):])
         raise RuntimeError(f"no RESULT line from {master}")
 
+    def gate() -> float:
+        """Block until the host is quiet enough to measure (or the
+        gate times out — recorded either way, never silent)."""
+        t0 = time.monotonic()
+        load = os.getloadavg()[0]
+        while (
+            args.max_load > 0
+            and load > args.max_load
+            and time.monotonic() - t0 < args.gate_timeout
+        ):
+            time.sleep(10)
+            load = os.getloadavg()[0]
+        return load
+
     def best_of(master: str) -> dict:
         """min-wall of N reps: the sandbox host carries noisy-neighbor
         load (loadavg >10 while idle), so the fastest rep is the
         least-interfered sample of the engine's true cost."""
         reps = []
         for _ in range(max(args.repeat, 1)):
+            load = gate()
             r = spawn(master)
-            r["loadavg_before"] = os.getloadavg()[0]
+            r["loadavg_before"] = load
             reps.append(r)
         best = min(reps, key=lambda r: r["build_wall_sec"])
         best["rep_walls"] = [r["build_wall_sec"] for r in reps]
+        best["loadavg_all_reps"] = [r["loadavg_before"] for r in reps]
         return best
 
     lo = best_of(args.low)

@@ -42,6 +42,7 @@ def normalize(df: pd.DataFrame) -> tuple[str, list[str], int]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    json_out = os.environ.get("CHECK_ORACLES_JSON")
     spark = get_spark(app_name="oracle-check", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TPCH_TABLES:
@@ -52,6 +53,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -61,6 +63,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} spark error: {e}")
             failures.append(name)
+            report[name] = {"err": f"spark: {e}"}
             continue
         spark_sec = time.monotonic() - t0
         if name not in oracles:
@@ -68,16 +71,33 @@ def main() -> int:
                 f"rows  {name:28s} rows={len(sdf)} (no oracle; rows-only) "
                 f"[{spark_sec:.1f}s]"
             )
+            report[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(sdf),
+                "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} duckdb error: {e}")
             failures.append(name)
+            report[name] = {"err": f"duckdb: {e}"}
             continue
         sh, scols, sn = normalize(sdf)
         oh, ocols, on = normalize(odf)
         ok = (sh == oh) and (scols == ocols) and (sn == on)
+        report[name] = {
+            "rows_match": sn == on,
+            "schema_match": scols == ocols,
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "err": None,
+        }
         status = "OK  " if ok else "FAIL"
         print(
             f"{status}  {name:28s} rows={sn}/{on} cols_match="
@@ -96,6 +116,12 @@ def main() -> int:
     print(
         f"\n{len(failures)} failures" + (f": {failures}" if failures else "")
     )
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     spark.stop()
     return 1 if failures else 0
 
