@@ -62,17 +62,73 @@ def run_builds(
     spark: SparkSession,
     builds: dict[str, Callable[[SparkSession], dict | None]],
     timings_path: str,
+    parallel: bool = False,
 ) -> dict[str, dict]:
     """Run every build callable, longest-first from persisted timings;
-    persist this run's wall times (merged) for the next run."""
+    persist this run's wall times (merged) for the next run.
+
+    ``parallel=True`` matches the reference's concurrency contract
+    (bin/buildIndexes:36,321 runs 3 indexer subprocesses): each build
+    runs in its own driver thread tagged with its own scheduler pool
+    (``spark.scheduler.pool`` local property — interleaved fairly when
+    the session runs ``spark.scheduler.mode=FAIR``, FIFO-interleaved
+    otherwise). Serial remains the default: one build of a large
+    corpus already saturates the executors, so parallelism only pays
+    when the variants are small or I/O-bound. Builds target DISTINCT
+    index dirs (each holds its own writer lock), and results are
+    identical either way — asserted in tests.
+    """
     prev = load_timings(timings_path)
     order = schedule(list(builds), prev)
     results: dict[str, dict] = {}
-    for i, name in enumerate(order):
-        t0 = time.monotonic()
-        metrics = builds[name](spark) or {}
-        wall = time.monotonic() - t0
-        results[name] = {"order": i, "wall_sec": round(wall, 3), **metrics}
+    if not parallel:
+        for i, name in enumerate(order):
+            t0 = time.monotonic()
+            metrics = builds[name](spark) or {}
+            wall = time.monotonic() - t0
+            results[name] = {
+                "order": i, "wall_sec": round(wall, 3), **metrics
+            }
+    else:
+        import threading
+
+        res_lock = threading.Lock()
+        errors: dict[str, BaseException] = {}
+
+        def work(i: int, name: str) -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", name
+            )
+            try:
+                t0 = time.monotonic()
+                metrics = builds[name](spark) or {}
+                wall = time.monotonic() - t0
+                with res_lock:
+                    results[name] = {
+                        "order": i,
+                        "wall_sec": round(wall, 3),
+                        "pool": name,
+                        **metrics,
+                    }
+            except BaseException as e:  # noqa: BLE001
+                with res_lock:
+                    errors[name] = e
+            finally:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None
+                )
+
+        threads = [
+            threading.Thread(target=work, args=(i, n), name=f"build-{n}")
+            for i, n in enumerate(order)
+        ]
+        for t in threads:  # longest-first SUBMISSION order still holds
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            name, err = next(iter(errors.items()))
+            raise RuntimeError(f"parallel build {name!r} failed") from err
     save_timings(
         timings_path,
         {**prev, **{n: results[n]["wall_sec"] for n in results}},
@@ -96,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--parallel",
+        action="store_true",
+        help="run variants concurrently in FAIR scheduler pools "
+        "(the reference's 3-subprocess contract); serial default "
+        "because one large build already saturates executors",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="orchestrate-indexes", master=args.master)
@@ -125,7 +188,10 @@ def main(argv: list[str] | None = None) -> int:
 
         builds = {"base": base, "positional": positional}
         results = run_builds(
-            spark, builds, f"{args.out_dir}/timings.json"
+            spark,
+            builds,
+            f"{args.out_dir}/timings.json",
+            parallel=args.parallel,
         )
         print(json.dumps({"orchestration": results}))
         return 0

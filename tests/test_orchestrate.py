@@ -47,3 +47,79 @@ def test_run_builds_orders_and_persists(tmp_path):
     assert saved["fast"] == results["fast"]["wall_sec"]
     # next run re-orders from the new ledger: fast slept, so it leads
     assert schedule(["fast", "slow"], saved)[0] == "fast"
+
+
+def test_run_builds_parallel_matches_serial(spark, tmp_path):
+    """parallel=True (FAIR-pool threads, the reference's 3-subprocess
+    contract) builds the same artifacts as serial: two real index
+    variants into distinct dirs, dictionaries identical to serial
+    builds; failures propagate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gxdindexer_spark.operators.index_build import IndexBuilder
+    from gxdindexer_spark.sources.synth import generate_corpus
+    from gxdindexer_spark.sources.tables import prepare_docs
+
+    corpus = generate_corpus(spark, 150, seed=11, partitions=4)
+    docs = prepare_docs(corpus, docs_per_shard=75, partitions=4).cache()
+    docs.count()
+
+    def mk(out_dir, positional):
+        def fn(s):
+            return IndexBuilder(
+                docs_per_shard=75,
+                salt_range=64,
+                block_size=16,
+                with_positions=positional,
+            ).build(docs, out_dir, resume=False)
+
+        return fn
+
+    par = str(tmp_path / "par")
+    results = run_builds(
+        spark,
+        {
+            "base": mk(f"{par}/base", False),
+            "positional": mk(f"{par}/positional", True),
+        },
+        str(tmp_path / "t_par.json"),
+        parallel=True,
+    )
+    assert set(results) == {"base", "positional"}
+    assert all(r.get("pool") for r in results.values())
+
+    ser = str(tmp_path / "ser")
+    run_builds(
+        spark,
+        {
+            "base": mk(f"{ser}/base", False),
+            "positional": mk(f"{ser}/positional", True),
+        },
+        str(tmp_path / "t_ser.json"),
+        parallel=False,
+    )
+    for variant in ("base", "positional"):
+        a = (
+            spark.read.parquet(f"{par}/{variant}/dictionary")
+            .orderBy("field", "term")
+            .collect()
+        )
+        b = (
+            spark.read.parquet(f"{ser}/{variant}/dictionary")
+            .orderBy("field", "term")
+            .collect()
+        )
+        assert a == b and a
+
+    # a failing build propagates with its name
+    def boom(_s):
+        raise ValueError("nope")
+
+    with pytest.raises(RuntimeError, match="bad"):
+        run_builds(
+            spark,
+            {"bad": boom, "ok": mk(str(tmp_path / "ok"), False)},
+            str(tmp_path / "t_err.json"),
+            parallel=True,
+        )
