@@ -745,7 +745,7 @@ def ann_lsh_topk_q(spark, sf_dir):
     """ANN over the PERSISTED LSH index: partition-pruned scan of the
     probed buckets only (operators/ann.py)."""
     idx = _ensure_ann(spark, sf_dir)
-    return idx.lsh_topk(_query_vec(spark, sf_dir), k=10, probes=3)
+    return idx.lsh_topk(_query_vec(spark, sf_dir), k=10, probes=5)
 
 
 def ann_ivf_topk_q(spark, sf_dir):
@@ -1045,12 +1045,16 @@ _COS = (
 
 
 def _ann_lsh_sql(k: int = 10, probes: int = 3) -> str:
-    """Mirrors AnnIndex.lsh_buckets margin-ordered multiprobe: flip
-    the sign bits of the (probes-1) hyperplanes with the smallest
-    |q . plane| (plane-index tiebreak). list_dot_product accumulates
-    left-to-right like the python helper, so the probe ORDER (hence
+    """Mirrors similarity.lsh_probe_buckets perturbation-SET
+    multiprobe (Lv et al. VLDB'07): candidate flips are every subset
+    of <= 3 hyperplanes ordered by the SUM of margins |q . plane|
+    (padded-index tiebreak). list_dot_product accumulates
+    left-to-right like the python helper, subset totals add margins
+    in ascending plane index (SQL ``a.m + b.m + c.m`` groups
+    left-to-right like the python loop), so the probe ORDER (hence
     the candidate set) is bit-identical."""
     planes = _ann_planes()
+    n = len(planes)
     margin_rows = " UNION ALL ".join(
         f"SELECT {i} AS i, abs(list_dot_product(qv, {_plane_lit(p)})) AS m"
         " FROM q"
@@ -1060,12 +1064,26 @@ def _ann_lsh_sql(k: int = 10, probes: int = 3) -> str:
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 qs AS (SELECT {_lsh_sig_sql("qv", planes)} AS s FROM q),
 margins AS ({margin_rows}),
-flips AS (SELECT i FROM margins ORDER BY m ASC, i ASC
-          LIMIT {max(min(len(planes), probes - 1), 0)}),
+subs AS (
+  SELECT a.i AS i1, {n} AS i2, {n} AS i3, a.m AS total,
+         (1::BIGINT << a.i) AS mask
+  FROM margins a
+  UNION ALL
+  SELECT a.i, b.i, {n}, a.m + b.m,
+         (1::BIGINT << a.i) | (1::BIGINT << b.i)
+  FROM margins a JOIN margins b ON a.i < b.i
+  UNION ALL
+  SELECT a.i, b.i, c.i, a.m + b.m + c.m,
+         (1::BIGINT << a.i) | (1::BIGINT << b.i) | (1::BIGINT << c.i)
+  FROM margins a JOIN margins b ON a.i < b.i
+                 JOIN margins c ON b.i < c.i),
+flips AS (SELECT mask FROM subs
+          ORDER BY total ASC, i1 ASC, i2 ASC, i3 ASC
+          LIMIT {max(probes - 1, 0)}),
 probe_buckets AS (
   SELECT s AS b FROM qs
   UNION ALL
-  SELECT xor(qs.s, (1::BIGINT << flips.i)) AS b FROM qs, flips),
+  SELECT xor(qs.s, flips.mask) AS b FROM qs, flips),
 tagged AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   {_lsh_sig_sql("embedding::DOUBLE[]", planes)} AS sig
            FROM embeddings),
@@ -1677,7 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_features_sql(dim=8),
         # ANN: the md5-seeded hyperplanes / strided centroid sample make
         # the candidate sets SQL-reproducible — full hash-match oracles.
-        "ann_lsh_topk": _ann_lsh_sql(k=10, probes=3),
+        "ann_lsh_topk": _ann_lsh_sql(k=10, probes=5),
         "ann_ivf_topk": _ann_ivf_sql(k=10, nprobe=3),
         "embedding_neardup_lsh": _ann_neardup_lsh_sql(threshold=0.3),
         "embedding_neardup_banded": _ann_neardup_banded_sql(

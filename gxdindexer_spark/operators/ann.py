@@ -300,10 +300,11 @@ class AnnIndex:
     # ------------------------------------------------------------- LSH
 
     def lsh_buckets(self, query_vec: list[float], probes: int = 1) -> list[int]:
-        """Query signature bucket + margin-ordered multiprobe ring
-        (similarity.lsh_probe_buckets: flip the sign bits of the
-        hyperplanes the query sits closest to first — same probe count
-        as naive bit-0,1,2 flipping, materially better recall)."""
+        """Query signature bucket + perturbation-set multiprobe ring
+        (similarity.lsh_probe_buckets, Lv et al. VLDB'07: subsets of
+        <= 3 plane flips ordered by total margin — single-bit flipping
+        plateaus at n_planes reachable neighbors; subsets keep recall
+        climbing at the same per-probe scan cost)."""
         from gxdindexer_spark.operators.similarity import lsh_probe_buckets
 
         return lsh_probe_buckets(query_vec, self.planes, probes)

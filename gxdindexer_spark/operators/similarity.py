@@ -21,6 +21,7 @@ in tests/test_ann.py).
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -90,14 +91,26 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_probe_buckets(
-    query_vec: list[float], planes: list[list[float]], probes: int = 1
+    query_vec: list[float],
+    planes: list[list[float]],
+    probes: int = 1,
+    max_flips: int = 3,
 ) -> list[int]:
-    """Query bucket + margin-ordered single-bit-flip probe ring: flip
-    the sign bits of the hyperplanes the query is CLOSEST to first
-    (ascending |q . plane|, plane-index tiebreak) — the standard
-    multiprobe heuristic (Lv et al. VLDB'07). Dot products accumulate
-    left-to-right in pure python so the DuckDB oracle's
-    list_dot_product orders probes identically."""
+    """Query bucket + perturbation-SET probe ring (Lv et al. VLDB'07):
+    candidate perturbations are every subset of <= ``max_flips``
+    hyperplanes, ordered by the SUM of their margins |q . plane|
+    (ascending; plane-index tiebreak) — the planes the query is
+    closest to flip first, and a pair of near-zero margins outranks
+    one distant single. Single-bit flipping alone plateaus (only
+    n_planes reachable neighbors); subsets keep recall climbing while
+    each extra probe still scans only 1/2^n_planes of the corpus.
+
+    Determinism contract with the DuckDB oracle
+    (``__spark_entry__._ann_lsh_sql``): dot products accumulate
+    left-to-right in pure python (= ``list_dot_product``), subset
+    totals add margins in ascending plane order (= SQL ``a.m + b.m +
+    c.m``), and ties break on the padded index tuple — so the probe
+    ORDER, hence the candidate set, is bit-identical both sides."""
     dots = []
     for p in planes:
         acc = 0.0
@@ -107,13 +120,21 @@ def lsh_probe_buckets(
     qsig = sum(2**i for i, d in enumerate(dots) if d > 0)
     buckets = [qsig]
     if probes > 1:
-        by_margin = sorted(
-            range(len(planes)), key=lambda i: (abs(dots[i]), i)
-        )
-        buckets += [
-            qsig ^ (1 << i)
-            for i in by_margin[: min(len(planes), probes - 1)]
-        ]
+        n = len(planes)
+        margins = [abs(d) for d in dots]
+        cands: list[tuple[float, tuple[int, ...], int]] = []
+        for r in range(1, min(max_flips, n) + 1):
+            for comb in itertools.combinations(range(n), r):
+                total = margins[comb[0]]
+                for i in comb[1:]:
+                    total = total + margins[i]
+                mask = 0
+                for i in comb:
+                    mask |= 1 << i
+                pad = comb + (n,) * (max_flips - len(comb))
+                cands.append((total, pad, mask))
+        cands.sort(key=lambda t: (t[0], t[1]))
+        buckets += [qsig ^ m for _, _, m in cands[: probes - 1]]
     return buckets
 
 

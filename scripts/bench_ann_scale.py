@@ -89,8 +89,8 @@ def main() -> int:
     lsh_sec, lsh_rows = timed(
         lambda: idx.lsh_topk(qvec, k=10, probes=3).collect()
     )
-    lsh4_sec, lsh4_rows = timed(
-        lambda: idx.lsh_topk(qvec, k=10, probes=4).collect()
+    lsh8_sec, lsh8_rows = timed(
+        lambda: idx.lsh_topk(qvec, k=10, probes=8).collect()
     )
     ivf_sec, ivf_rows = timed(
         lambda: idx.ivf_topk(qvec, k=10, nprobe=NPROBE).collect()
@@ -100,18 +100,18 @@ def main() -> int:
         "n_vectors": n,
         "dim": DIM,
         "cpus": int(cpus),
-        "multiprobe": "margin-ordered (ascending |q.plane|)",
+        "multiprobe": "perturbation sets by total margin (Lv et al.)",
         "ann_build_sec": build_sec,
         "brute_topk_sec": brute_sec,
         "lsh_topk_sec": lsh_sec,
-        "lsh4_topk_sec": lsh4_sec,
+        "lsh8_topk_sec": lsh8_sec,
         "ivf_topk_sec": ivf_sec,
         "lsh_recall_at10": len(exact & {r["vec_id"] for r in lsh_rows}) / 10,
-        "lsh4_recall_at10": len(exact & {r["vec_id"] for r in lsh4_rows})
+        "lsh8_recall_at10": len(exact & {r["vec_id"] for r in lsh8_rows})
         / 10,
         "ivf_recall_at10": len(exact & {r["vec_id"] for r in ivf_rows}) / 10,
         "lsh_speedup": round(brute_sec / max(lsh_sec, 1e-9), 2),
-        "lsh4_speedup": round(brute_sec / max(lsh4_sec, 1e-9), 2),
+        "lsh8_speedup": round(brute_sec / max(lsh8_sec, 1e-9), 2),
         "ivf_speedup": round(brute_sec / max(ivf_sec, 1e-9), 2),
     }
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

@@ -315,11 +315,12 @@ def test_build_fingerprint_is_content_sensitive(spark, emb, tmp_path):
     assert again["fingerprint"] != meta["fingerprint"]
 
 
-def test_lsh_probe_order_is_margin_ascending(built, qvec):
-    """Multiprobe flips the sign bits of the hyperplanes the query is
-    CLOSEST to first (ascending |q . plane|, index tiebreak) — the
-    probe most likely to recover split-off neighbors comes first."""
-    import numpy as np
+def test_lsh_probe_order_is_total_margin_ascending(built, qvec):
+    """Perturbation-set multiprobe (Lv et al.): probes are subsets of
+    <= 3 plane flips ordered by total margin, so the probe most
+    likely to recover split-off neighbors comes first and pairs of
+    near-zero margins outrank a distant single."""
+    import itertools
 
     _d, meta = built
     planes = meta["planes"]
@@ -330,13 +331,54 @@ def test_lsh_probe_order_is_margin_ascending(built, qvec):
             acc += a * b
         dots.append(acc)
     qsig = sum(2**i for i, d in enumerate(dots) if d > 0)
-    order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+    # independent reimplementation of the subset ordering
+    margins = [abs(d) for d in dots]
+    n = len(planes)
+    subs = []
+    for r in range(1, 4):
+        for comb in itertools.combinations(range(n), r):
+            total = margins[comb[0]]
+            for i in comb[1:]:
+                total = total + margins[i]
+            subs.append(
+                (total, comb + (n,) * (3 - len(comb)), comb)
+            )
+    subs.sort(key=lambda t: (t[0], t[1]))
     from gxdindexer_spark.operators.similarity import lsh_probe_buckets
 
-    got = lsh_probe_buckets(qvec, planes, probes=4)
-    assert got == [qsig] + [qsig ^ (1 << i) for i in order[:3]]
+    got = lsh_probe_buckets(qvec, planes, probes=8)
+    want = [qsig]
+    for _, _, comb in subs[:7]:
+        m = qsig
+        for i in comb:
+            m ^= 1 << i
+        want.append(m)
+    assert got == want
+    # first flip is always the single closest plane
+    m0 = min(range(n), key=lambda i: (margins[i], i))
+    assert got[1] == qsig ^ (1 << m0)
     # margins genuinely differ, so the order is informative
     assert len({round(abs(d), 12) for d in dots}) == len(dots)
+
+
+def test_lsh_probe_pairs_outrank_distant_singles():
+    """Constructed margins where |m0|+|m1| < |m2|: the {0,1} pair
+    probe must precede the single-bit flip of plane 2 — the property
+    single-bit multiprobe cannot express (it plateaus at n_planes
+    probes; subsets keep recall climbing)."""
+    from gxdindexer_spark.operators.similarity import lsh_probe_buckets
+
+    # 2-d planes chosen so q=(1,0) has dots 0.01, 0.02, 1.0, -2.0
+    planes = [[0.01, 1.0], [0.02, 1.0], [1.0, 0.5], [-2.0, 0.1]]
+    q = [1.0, 0.0]
+    qsig = 0b0111  # positive dots on planes 0,1,2
+    got = lsh_probe_buckets(q, planes, probes=8)
+    assert got[0] == qsig
+    flip = [b ^ qsig for b in got[1:]]
+    # singles {0},{1}, then the pair {0,1} (0.03) before single {2} (1.0)
+    assert flip[:4] == [0b0001, 0b0010, 0b0011, 0b0100]
+    # 8 probes stay distinct
+    assert len(set(got)) == len(got)
 
 
 def _synth_emb(spark, n=1500, dim=16, n_dups=60, seed=7):
