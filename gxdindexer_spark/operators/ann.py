@@ -11,12 +11,24 @@ to make one slow count fast).
 
 At 100 TB: the build is one scan + one shuffle on the bucket key
 (the signature/assignment itself is a map-side expression; the
-repartition buys one-large-file-per-bucket layout instead of
+repartition buys a bounded-files-per-bucket layout instead of
 tasks x buckets tiny files); each query then reads
 ~n_vectors/2^n_planes rows per probed LSH bucket (or ~n/n_centroids
 per IVF probe) instead of the whole corpus. Partition pruning happens
 in the parquet source (``bucket`` is a directory column), verified by
 a plan test asserting only probed ``bucket=`` directories are read.
+
+File-count-per-bucket (``_FILE_SALT``): repartitioning on the bucket
+column ALONE writes each bucket as ONE file, so a pruned query scan
+gets one input split per probed bucket — probes tasks on a
+32-core/1000-executor cluster, ~3% utilization, and real embedding
+corpora are cluster-skewed so the hot bucket is also the biggest
+(measured: 1M clustered vectors put ~65k in the query's home bucket
+and the 1-file-per-bucket layout made the pruned scan SLOWER than
+brute force). Salting the repartition with ``vec_id % _FILE_SALT``
+keeps the shuffle but writes ~_FILE_SALT files per bucket dir, so a
+probed bucket reads with _FILE_SALT-way parallelism while total file
+count stays bounded at buckets x _FILE_SALT.
 
 Determinism: hyperplanes are md5-seeded (similarity._hyperplane) and
 the IVF centroid sample is an evenly-strided id pick, so the whole
@@ -43,6 +55,20 @@ from gxdindexer_spark.operators.similarity import (
     lsh_signature,
     sample_centroids,
 )
+
+# files written per bucket directory (see module docstring): bounds
+# BOTH the small-file count (buckets x _FILE_SALT total) and the read
+# parallelism of a partition-pruned scan (_FILE_SALT splits per probed
+# bucket, which is what saves a skew-hot bucket).
+_FILE_SALT = 8
+
+
+def _salted(df: DataFrame, part_col: str) -> DataFrame:
+    """Shuffle on (partition col, vec_id salt) so the partitioned
+    write below emits ~_FILE_SALT files per bucket dir instead of 1."""
+    return df.repartition(
+        F.col(part_col), F.pmod(F.col("vec_id"), F.lit(_FILE_SALT))
+    )
 
 
 def _input_fingerprint(
@@ -107,17 +133,18 @@ def build_ann_index(
             return meta
 
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
-    # repartition ON the partition column before the partitioned write:
-    # without it every input task writes a file into every bucket dir
-    # (tasks x 2^n_planes tiny files); with it each bucket is one
-    # task's worth of large files — the layout queries want.
+    # repartition ON (partition column, salt) before the partitioned
+    # write: without it every input task writes a file into every
+    # bucket dir (tasks x 2^n_planes tiny files); salting keeps the
+    # file count bounded at ~_FILE_SALT per bucket while giving pruned
+    # scans of a skew-hot bucket _FILE_SALT-way read parallelism.
     (
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             lsh_signature(F.col(vec_col), planes).alias("bucket"),
         )
-        .repartition("bucket")
+        .transform(lambda d: _salted(d, "bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/lsh")
@@ -134,7 +161,7 @@ def build_ann_index(
         centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
     (
         ivf_assign(emb, centroids, id_col, vec_col)
-        .repartition("ivf_bucket")
+        .transform(lambda d: _salted(d, "ivf_bucket"))
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(f"{index_dir}/ivf")
@@ -208,14 +235,14 @@ def append_ann_index(
             F.col(vec_col).alias("embedding"),
             lsh_signature(F.col(vec_col), planes).alias("bucket"),
         )
-        .repartition("bucket")
+        .transform(lambda d: _salted(d, "bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{stage}/lsh")
     )
     (
         ivf_assign(emb_delta, centroids, id_col, vec_col)
-        .repartition("ivf_bucket")
+        .transform(lambda d: _salted(d, "ivf_bucket"))
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
         .parquet(f"{stage}/ivf")
@@ -243,7 +270,7 @@ def compact_ann_index(
         tmp = f"{index_dir}/.{art}_compact_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            rel.repartition(part_col)
+            _salted(rel, part_col)
             .write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(tmp)

@@ -47,6 +47,15 @@ from gxdindexer_spark.functions.codec import encode_postings, merge_salted
 DEFAULT_FIELDS = {"content": "code", "path": "path", "lang": "lang"}
 
 
+def _empty_like(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Empty frame with ``schema`` built JVM-side (range(0)) — a
+    python-list createDataFrame becomes a 32-partition python RDD that
+    spawns a worker per partition on every action."""
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def term_freqs_df(
     docs: DataFrame,
     fields: dict[str, str] | None = None,
@@ -696,6 +705,18 @@ class IndexBuilder:
         falls back to the full aggregation for legacy ledgers.
         """
         mode = "incremental" if pending is not None else "full"
+        trace = os.environ.get("GXDIDX_TRACE") == "1"
+        _last = [time.monotonic()]
+
+        def fmark(stage: str) -> None:
+            if trace:
+                now = time.monotonic()
+                print(
+                    f"[finalize-trace] {stage}: {now - _last[0]:.1f}s",
+                    file=sys.stderr,
+                )
+                _last[0] = now
+
         if pending is not None:
             prior = spark.read.parquet(f"{index_dir}/dictionary").select(
                 "field", "term", "term_id", "df", "cf"
@@ -710,63 +731,80 @@ class IndexBuilder:
                     .select("field", "term", "term_id", "df", "cf")
                 )
                 merged = merged.unionByName(delta)
-            merged = (
+            dict_df = (
                 merged.groupBy("field", "term", "term_id")
                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                 .filter(F.col("df") > 0)
             )
-            tmp = f"{index_dir}/.dictionary_compact_tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            merged.write.mode("overwrite").parquet(tmp)
-            old = f"{index_dir}/.dictionary_old"
-            shutil.rmtree(old, ignore_errors=True)
-            marker = f"{index_dir}/.dictionary_swap.marker"
-            with open(marker, "w") as fh:
-                json.dump({"artifact": "dictionary"}, fh)
-            os.rename(f"{index_dir}/dictionary", old)
-            os.rename(tmp, f"{index_dir}/dictionary")
-            os.remove(marker)
-            shutil.rmtree(old, ignore_errors=True)
         else:
             parts = spark.read.parquet(f"{index_dir}/dict_parts")
-            dictionary = parts.groupBy("field", "term", "term_id").agg(
+            dict_df = parts.groupBy("field", "term", "term_id").agg(
                 F.sum("df").alias("df"), F.sum("cf").alias("cf")
             )
-            dictionary.write.mode("overwrite").parquet(
-                f"{index_dir}/dictionary"
+        # one source aggregation feeds the collision check, the
+        # dictionary write AND the reversed dictionary. localCheckpoint
+        # (not persist): the vocab is computed once (small: distinct
+        # terms, not postings) AND lineage is severed — the incremental
+        # branch's lineage reads the pre-swap dictionary path, so a
+        # recompute-after-swap would double-apply the delta.
+        dict_df = dict_df.localCheckpoint(eager=True)
+        fmark("dict_agg+ckpt")
+        try:
+            # term_id collision check (functions/hashing.py): two
+            # distinct terms hashing to one id would silently merge
+            # posting lists. Runs FIRST so a clash aborts before any
+            # artifact is replaced. One global agg on the checkpointed
+            # vocab (distinct ids == distinct terms <=> injective), not
+            # a groupBy+filter shuffle — finalize is job-count-bound.
+            row = dict_df.agg(
+                F.count_distinct(F.struct("field", "term_id")).alias("ids"),
+                F.count_distinct(F.struct("field", "term")).alias("terms"),
+            ).first()
+            if row["ids"] != row["terms"]:
+                raise RuntimeError(
+                    f"{row['terms'] - row['ids']} term_id collisions "
+                    "detected — widen term_id (hashing.py) before "
+                    "using this index"
+                )
+            fmark("clash")
+            if pending is not None:
+                tmp = f"{index_dir}/.dictionary_compact_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                dict_df.write.mode("overwrite").parquet(tmp)
+                old = f"{index_dir}/.dictionary_old"
+                shutil.rmtree(old, ignore_errors=True)
+                marker = f"{index_dir}/.dictionary_swap.marker"
+                with open(marker, "w") as fh:
+                    json.dump({"artifact": "dictionary"}, fh)
+                os.rename(f"{index_dir}/dictionary", old)
+                os.rename(tmp, f"{index_dir}/dictionary")
+                os.remove(marker)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                dict_df.write.mode("overwrite").parquet(
+                    f"{index_dir}/dictionary"
+                )
+            # reversed-term dictionary: the Lucene
+            # ReversedWildcardFilter analog — leading wildcards (*fix)
+            # become a PREFIX range scan over rev_term, pushed to the
+            # parquet source like the forward prefix path
+            # (query.expand_suffix). Sorted by (field, rev_term) so
+            # row-group min/max stats prune the range.
+            (
+                dict_df.select(
+                    "field",
+                    F.reverse(F.col("term")).alias("rev_term"),
+                    "term",
+                    "term_id",
+                    "df",
+                )
+                .sortWithinPartitions("field", "rev_term")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/dictionary_rev")
             )
-        # reversed-term dictionary: the Lucene ReversedWildcardFilter
-        # analog — leading wildcards (*fix) become a PREFIX range scan
-        # over rev_term, pushed to the parquet source like the forward
-        # prefix path (query.expand_suffix). Sorted by (field,
-        # rev_term) so row-group min/max stats prune the range.
-        (
-            spark.read.parquet(f"{index_dir}/dictionary")
-            .select(
-                "field",
-                F.reverse(F.col("term")).alias("rev_term"),
-                "term",
-                "term_id",
-                "df",
-            )
-            .sortWithinPartitions("field", "rev_term")
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/dictionary_rev")
-        )
-        # term_id collision check (functions/hashing.py): two distinct
-        # terms hashing to one id would silently merge posting lists.
-        clash = (
-            spark.read.parquet(f"{index_dir}/dictionary")
-            .groupBy("field", "term_id")
-            .agg(F.count_distinct("term").alias("n"))
-            .filter(F.col("n") > 1)
-            .count()
-        )
-        if clash:
-            raise RuntimeError(
-                f"{clash} term_id collisions detected — widen term_id "
-                "(hashing.py) before using this index"
-            )
+            fmark("dict+rev writes")
+        finally:
+            dict_df.unpersist()  # releases the checkpoint blocks
         if field_totals is not None:
             rows = [
                 (f, int(t[0]), int(t[1]), t[1] / t[0])
@@ -781,9 +819,17 @@ class IndexBuilder:
                     T.StructField("avgdl", T.DoubleType(), False),
                 ]
             )
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            # Arrow path (pandas), NOT createDataFrame(list): a python
+            # list becomes a 32-partition python RDD whose write spawns
+            # a Python worker per partition (~7s for one row on
+            # local[32]); the pandas local relation stays JVM-side.
+            pdf = pd.DataFrame(
+                rows, columns=["field", "n_docs", "sum_dl", "avgdl"]
+            )
+            spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{index_dir}/corpus_stats")
+            fmark("corpus_stats_write")
         else:
             doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
             (
@@ -908,7 +954,7 @@ def delete_docs(
         .filter(~F.col("doc_id").isin(ids))
         .localCheckpoint()
         if rebuild
-        else spark.createDataFrame([], store.schema)
+        else _empty_like(spark, store.schema)
     )
     metrics = builder.build(
         survivors,

@@ -41,6 +41,19 @@ _HITS_SCHEMA = T.StructType(
 )
 
 
+def _empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Empty result with ``schema``, built JVM-side via range(0).
+    ``createDataFrame([], schema)`` makes a 32-partition python RDD
+    whose every action spawns a Python worker per partition — ~2-5s
+    of overhead for an empty no-match result."""
+    return spark.range(0).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 class IndexQueryEngine:
     def __init__(
         self,
@@ -341,7 +354,7 @@ class IndexQueryEngine:
         rank-identical."""
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
-            return self.spark.createDataFrame([], _HITS_SCHEMA)
+            return _empty_df(self.spark, _HITS_SCHEMA)
         if mode == "auto":
             mode = self.choose_mode(spec)
         postings = self._postings_for(spec)
@@ -395,10 +408,10 @@ class IndexQueryEngine:
             )
         terms = analyze.phrase_tokens(phrase, self.fields[field])
         if not terms:
-            return self.spark.createDataFrame([], _HITS_SCHEMA)
+            return _empty_df(self.spark, _HITS_SCHEMA)
         dfs = self._lookup_stats([(field, t) for t in terms])
         if len(dfs) < len(set(terms)):
-            return self.spark.createDataFrame([], _HITS_SCHEMA)
+            return _empty_df(self.spark, _HITS_SCHEMA)
         idf_sum = self.weights[field] * float(
             sum(bm25.idf(self.n_docs[field], df) for df in dfs.values())
         )
@@ -454,7 +467,7 @@ class IndexQueryEngine:
             ]
         )
         if not specs:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_df(self.spark, out_schema)
         keys = set()
         for s in specs.values():
             keys |= (
@@ -524,7 +537,7 @@ class IndexQueryEngine:
             ]
         )
         if not hits:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_df(self.spark, out_schema)
         dps = int(self.manifest.get("docs_per_shard") or 1)
         ids = [int(r["doc_id"]) for r in hits]
         shards = sorted({i // dps for i in ids})
@@ -535,8 +548,14 @@ class IndexQueryEngine:
             )
             .select("doc_id", *columns)
         )
+        # pandas local relation (Arrow): a python-LIST createDataFrame
+        # becomes a 32-partition python RDD and any action on it spawns
+        # a Python worker per partition — seconds of overhead for k rows
         hits_df = self.spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            pd.DataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in hits],
+                columns=["doc_id", "score"],
+            ),
             out_schema,
         )
         return hits_df.join(F.broadcast(store), "doc_id").orderBy(
@@ -555,7 +574,7 @@ class IndexQueryEngine:
             [T.StructField("doc_id", T.LongType(), False)]
         )
         if not spec.term_weights:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_df(self.spark, out_schema)
         b_spec = self.spark.sparkContext.broadcast(spec)
 
         def shard_docs(pg: pd.DataFrame) -> pd.DataFrame:
@@ -622,7 +641,7 @@ class IndexQueryEngine:
             ]
         )
         if not spec.term_weights:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_df(self.spark, out_schema)
         b_spec = self.spark.sparkContext.broadcast(spec)
         idx_dir = self.index_dir
 
@@ -683,7 +702,7 @@ class IndexQueryEngine:
             ]
         )
         if not hits:
-            return self.spark.createDataFrame([], out_schema)
+            return _empty_df(self.spark, out_schema)
         terms = analyze.tokenize_query(query, self.fields[field])
         tids = [self._tid(t) for t in terms]
         ids = np.array([int(r["doc_id"]) for r in hits], dtype=np.int64)
@@ -719,7 +738,10 @@ class IndexQueryEngine:
             shard_hl, schema=hl_schema
         )
         sdf = self.spark.createDataFrame(
-            [(d, s) for d, s in scores.items()], ["doc_id", "score"]
+            pd.DataFrame(
+                [(d, s) for d, s in scores.items()],
+                columns=["doc_id", "score"],
+            )
         )
         return (
             hl.join(F.broadcast(sdf), "doc_id")
@@ -776,7 +798,7 @@ def brute_force_bm25_df(
     """
     q_terms = analyze.tokenize_query(query, tokenizer)
     if not q_terms:
-        return docs.sparkSession.createDataFrame([], _HITS_SCHEMA)
+        return _empty_df(docs.sparkSession, _HITS_SCHEMA)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
