@@ -96,6 +96,7 @@ def main() -> int:
                         "a shared host instead of silently contended.")
     p.add_argument("--gate-timeout", type=float, default=900.0)
     p.add_argument("--out", default="BENCH/BASELINE.md")
+    p.add_argument("--json-out", default="BENCH/scaling.json")
     p.add_argument("--single", help="internal: run ONE level, print JSON")
     args = p.parse_args()
 
@@ -197,10 +198,10 @@ ran at two parallelism levels; only executor-thread count varies.
 Method notes: docs table materialized (persisted + counted) before the
 timed region; Python workers pre-warmed; timed region = full index
 build (tokenize -> salted SPIMI encode -> merge -> parquet write +
-stats finalize). Raw JSON: BENCH/scaling.json.
+stats finalize). Raw JSON: {args.json_out}.
 """
         )
-    with open("BENCH/scaling.json", "w") as fh:
+    with open(args.json_out, "w") as fh:
         json.dump(result, fh, indent=2)
     return 0
 
