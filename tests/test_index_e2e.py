@@ -1040,3 +1040,35 @@ def test_leading_wildcard_expansion_and_ranking(built, spark):
     # infix stays rejected
     with pytest.raises(ValueError, match="infix"):
         eng.parse_query("*mid*")
+
+
+def test_no_match_results_are_empty_and_cheap(spark, built):
+    """Unknown terms return an EMPTY frame with the hits schema, from
+    every query surface. The empty frame is a JVM-side range(0)
+    projection (query._empty_df) — a python-list createDataFrame
+    spawns a python worker per partition and costs seconds per miss."""
+    idx, _docs, _pdocs, _metrics = built
+    eng = IndexQueryEngine(spark, idx)
+    for mode in ("taat", "wand", "auto"):
+        rows = eng.topk("zzzznotaterm", k=5, mode=mode).collect()
+        assert rows == []
+    df = eng.topk("zzzznotaterm", k=5)
+    assert [f.name for f in df.schema.fields] == ["doc_id", "score"]
+    # no python stage in the plan: the miss never launches workers
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan parquet" not in plan
+    assert "Python" not in plan
+    # boolean must-clause with an unknown term: also empty
+    assert eng.topk("+zzzznotaterm if", k=5).collect() == []
+    # batched: unknown query key yields no rows for that key
+    many = eng.topk_many(
+        {"hit": "if", "miss": "zzzznotaterm"}, k=3
+    ).collect()
+    keys = {r["query_id"] for r in many}
+    assert "hit" in keys and "miss" not in keys
