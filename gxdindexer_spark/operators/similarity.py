@@ -53,13 +53,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k. -> (vec_id, cos) desc, id asc."""
+    """Exact brute-force cosine top-k. -> (vec_id, cos) desc, id asc.
+
+    Stays a JVM-side expression: an Arrow UDF variant was measured
+    SLOWER on full scans (the JVM->Arrow transfer of 1M embeddings
+    dominates any python-side vectorization win), while the HOF moves
+    zero data. The one genuine waste in the naive HOF form — the
+    QUERY's own norm, an aggregate over a dim-literal array that
+    Catalyst does not constant-fold, re-evaluated per row — is
+    precomputed driver-side instead: the python loop accumulates
+    left-to-right exactly like ``F.aggregate`` (and DuckDB's
+    list_dot_product), so scores stay bit-identical to the oracles.
+    """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    qnorm = math.sqrt(qn)
     # order by the UNROUNDED cosine (rank truth), round only for output
     return (
         emb.select(
-            F.col(id_col).alias("vec_id"), cosine(v, q).alias("_c")
+            F.col(id_col).alias("vec_id"),
+            (_dot(v, q) / (_norm(v) * F.lit(qnorm))).alias("_c"),
         )
         .orderBy(F.desc("_c"), F.asc("vec_id"))
         .limit(k)
