@@ -47,6 +47,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gxdindexer_spark.operators.index_build import _WriterLock
 from gxdindexer_spark.operators.similarity import (
     _hyperplane,
     cosine,
@@ -69,6 +70,51 @@ def _salted(df: DataFrame, part_col: str) -> DataFrame:
     return df.repartition(
         F.col(part_col), F.pmod(F.col("vec_id"), F.lit(_FILE_SALT))
     )
+
+
+def _delta_tag(fp: str) -> str:
+    return fp.replace(":", "_").replace("-", "m")
+
+
+def _art_dir(index_dir: str, meta: dict, art: str) -> str:
+    """Resolve an artifact root through meta's versioned-dir pointer.
+
+    ``meta["<art>_dir"]`` names the live directory (``lsh`` for v0 /
+    legacy indices, ``lsh_v<N>`` after a compaction or rebuild). All
+    mutation paths write a NEW versioned dir and flip the pointer in
+    one atomic meta replace — the Iceberg manifest-pointer pattern —
+    so a crash at any rename/rmtree boundary leaves meta referencing
+    only complete artifacts.
+    """
+    return f"{index_dir}/{meta.get(f'{art}_dir', art)}"
+
+
+def _versioned_name(art: str, version: int) -> str:
+    return art if version == 0 else f"{art}_v{version}"
+
+
+def _gc_unreferenced(index_dir: str, meta: dict) -> None:
+    """Remove artifact dirs and delta staging dirs that the committed
+    meta no longer references — the post-commit cleanup phase of build
+    / compact, safe to replay after a crash (anything it deletes is,
+    by construction, unreachable from meta.json)."""
+    live = {meta.get("lsh_dir", "lsh"), meta.get("ivf_dir", "ivf")}
+    for name in os.listdir(index_dir):
+        if (
+            (name.startswith("lsh") or name.startswith("ivf"))
+            and name not in live
+            and os.path.isdir(f"{index_dir}/{name}")
+        ):
+            shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+    ddir = f"{index_dir}/deltas"
+    applied_tags = {_delta_tag(fp) for fp in meta.get("applied_deltas") or []}
+    if os.path.isdir(ddir):
+        if not applied_tags:
+            shutil.rmtree(ddir, ignore_errors=True)
+        else:
+            for name in os.listdir(ddir):
+                if name not in applied_tags:
+                    shutil.rmtree(f"{ddir}/{name}", ignore_errors=True)
 
 
 def _input_fingerprint(
@@ -118,69 +164,105 @@ def build_ann_index(
     ``resume=True`` skips the build when the input fingerprint
     (count + id-sum + content crc) and params match the existing
     meta — the ANN analog of the index builder's ledger check.
+
+    Holds the index writer lock (index_build._WriterLock): a build
+    never races an append or compaction mutating the same meta.
+    Artifacts land in fresh versioned dirs and meta commits last
+    pointing at them, so a crash mid-build leaves the previous
+    committed index fully readable.
     """
-    fingerprint, n_vectors, dim = _input_fingerprint(emb, id_col, vec_col)
-    meta_path = f"{index_dir}/meta.json"
-    if resume and os.path.isfile(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        if (
-            meta.get("fingerprint") == fingerprint
-            and meta.get("n_planes") == n_planes
-            and meta.get("n_centroids") == n_centroids
-            and meta.get("kmeans_iters", 0) == kmeans_iters
-        ):
-            return meta
+    os.makedirs(index_dir, exist_ok=True)
+    with _WriterLock(index_dir):
+        fingerprint, n_vectors, dim = _input_fingerprint(
+            emb, id_col, vec_col
+        )
+        meta_path = f"{index_dir}/meta.json"
+        old_meta: dict = {}
+        if os.path.isfile(meta_path):
+            with open(meta_path) as fh:
+                old_meta = json.load(fh)
+            if (
+                resume
+                and old_meta.get("fingerprint") == fingerprint
+                and old_meta.get("n_planes") == n_planes
+                and old_meta.get("n_centroids") == n_centroids
+                and old_meta.get("kmeans_iters", 0) == kmeans_iters
+            ):
+                return old_meta
+        version = int(old_meta.get("version", 0)) + 1 if old_meta else 0
 
-    planes = [_hyperplane(dim, s) for s in range(n_planes)]
-    # repartition ON (partition column, salt) before the partitioned
-    # write: without it every input task writes a file into every
-    # bucket dir (tasks x 2^n_planes tiny files); salting keeps the
-    # file count bounded at ~_FILE_SALT per bucket while giving pruned
-    # scans of a skew-hot bucket _FILE_SALT-way read parallelism.
-    (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        planes = [_hyperplane(dim, s) for s in range(n_planes)]
+        lsh_dir = _versioned_name("lsh", version)
+        ivf_dir = _versioned_name("ivf", version)
+        # repartition ON (partition column, salt) before the
+        # partitioned write: without it every input task writes a file
+        # into every bucket dir (tasks x 2^n_planes tiny files);
+        # salting keeps the file count bounded at ~_FILE_SALT per
+        # bucket while giving pruned scans of a skew-hot bucket
+        # _FILE_SALT-way read parallelism.
+        (
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                lsh_signature(F.col(vec_col), planes).alias("bucket"),
+            )
+            .transform(lambda d: _salted(d, "bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/{lsh_dir}")
         )
-        .transform(lambda d: _salted(d, "bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/lsh")
-    )
-    if kmeans_iters > 0:
-        from gxdindexer_spark.operators.similarity import (
-            train_centroids_kmeans,
-        )
+        if kmeans_iters > 0:
+            from gxdindexer_spark.operators.similarity import (
+                train_centroids_kmeans,
+            )
 
-        centroids = train_centroids_kmeans(
-            emb, n_centroids, kmeans_iters, id_col, vec_col
+            centroids = train_centroids_kmeans(
+                emb, n_centroids, kmeans_iters, id_col, vec_col
+            )
+        else:
+            centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
+        (
+            ivf_assign(emb, centroids, id_col, vec_col)
+            .transform(lambda d: _salted(d, "ivf_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{index_dir}/{ivf_dir}")
         )
-    else:
-        centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
-    (
-        ivf_assign(emb, centroids, id_col, vec_col)
-        .transform(lambda d: _salted(d, "ivf_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("ivf_bucket")
-        .parquet(f"{index_dir}/ivf")
-    )
-    meta = {
-        "fingerprint": fingerprint,
-        "n_vectors": n_vectors,
-        "dim": dim,
-        "n_planes": n_planes,
-        "n_centroids": n_centroids,
-        "kmeans_iters": kmeans_iters,
-        "planes": planes,
-        "centroids": centroids,
-        "applied_deltas": [],
-    }
-    _commit_meta(index_dir, meta)
-    # a fresh full build invalidates any staged deltas from a prior life
-    shutil.rmtree(f"{index_dir}/deltas", ignore_errors=True)
-    return meta
+        # per-cell occupancy at build time — the baseline the append
+        # path's drift metric compares against (read back from the
+        # written parquet: counting partition rows is metadata-cheap
+        # next to recomputing the assignment matmul)
+        ivf_build_counts = {
+            str(r["ivf_bucket"]): int(r["n"])
+            for r in emb.sparkSession.read.parquet(
+                f"{index_dir}/{ivf_dir}"
+            )
+            .groupBy("ivf_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        meta = {
+            "fingerprint": fingerprint,
+            "n_vectors": n_vectors,
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_centroids": n_centroids,
+            "kmeans_iters": kmeans_iters,
+            "planes": planes,
+            "centroids": centroids,
+            "applied_deltas": [],
+            "compacted_deltas": [],
+            "ivf_build_counts": ivf_build_counts,
+            "ivf_appended_counts": {},
+            "version": version,
+            "lsh_dir": lsh_dir,
+            "ivf_dir": ivf_dir,
+        }
+        _commit_meta(index_dir, meta)  # single atomic commit point
+        # post-commit cleanup: previous version's artifacts and any
+        # staged deltas from a prior life are now unreachable
+        _gc_unreferenced(index_dir, meta)
+        return meta
 
 
 def _commit_meta(index_dir: str, meta: dict) -> None:
@@ -215,88 +297,195 @@ def append_ann_index(
     Readers (``AnnIndex``) union the base with applied deltas only.
     LSH buckets are exact forever (planes are input-independent); IVF
     cells drift from the training distribution as the corpus grows —
-    retrain centroids (rebuild with kmeans_iters>0) periodically, like
-    any IVF system. ``compact_ann_index`` folds deltas back into the
-    base when the relation count grows.
+    per-cell counts are tracked on append and ``ivf_drift`` /
+    ``retrain_if_drifted`` expose the rebuild trigger.
+    ``compact_ann_index`` folds deltas back into the base when the
+    relation count grows; folded fingerprints move to
+    ``meta.compacted_deltas`` so the replay check survives compaction.
+
+    Holds the writer lock and re-reads meta inside it: a concurrent
+    build/append/compact can't interleave its read-modify-write of
+    meta.json with ours (an append racing a compaction would
+    otherwise have its committed delta erased when compact wrote
+    ``applied_deltas=[]``).
     """
-    with open(f"{index_dir}/meta.json") as fh:
-        meta = json.load(fh)
-    planes = meta["planes"]
-    centroids = meta["centroids"]
-    fp, n_delta, _dim = _input_fingerprint(emb_delta, id_col, vec_col)
-    meta.setdefault("applied_deltas", [])
-    if fp in meta["applied_deltas"]:
-        return meta  # replay: already committed, no-op
-    tag = fp.replace(":", "_").replace("-", "m")
-    stage = f"{index_dir}/deltas/{tag}"
-    (
-        emb_delta.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    with _WriterLock(index_dir):
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
+        planes = meta["planes"]
+        centroids = meta["centroids"]
+        fp, n_delta, _dim = _input_fingerprint(emb_delta, id_col, vec_col)
+        meta.setdefault("applied_deltas", [])
+        if fp in meta["applied_deltas"] or fp in meta.get(
+            "compacted_deltas", []
+        ):
+            return meta  # replay: already committed (possibly folded
+            # into the base by a compaction since), no-op
+        stage = f"{index_dir}/deltas/{_delta_tag(fp)}"
+        delta_assigned = ivf_assign(emb_delta, centroids, id_col, vec_col)
+        cell_counts = {
+            int(r["ivf_bucket"]): int(r["n"])
+            for r in delta_assigned.groupBy("ivf_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        (
+            emb_delta.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                lsh_signature(F.col(vec_col), planes).alias("bucket"),
+            )
+            .transform(lambda d: _salted(d, "bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{stage}/lsh")
         )
-        .transform(lambda d: _salted(d, "bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{stage}/lsh")
-    )
-    (
-        ivf_assign(emb_delta, centroids, id_col, vec_col)
-        .transform(lambda d: _salted(d, "ivf_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("ivf_bucket")
-        .parquet(f"{stage}/ivf")
-    )
-    meta["applied_deltas"].append(fp)
-    meta["n_vectors"] = int(meta["n_vectors"]) + n_delta
-    _commit_meta(index_dir, meta)
-    return meta
+        (
+            delta_assigned.transform(lambda d: _salted(d, "ivf_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{stage}/ivf")
+        )
+        meta["applied_deltas"].append(fp)
+        meta["n_vectors"] = int(meta["n_vectors"]) + n_delta
+        appended = meta.setdefault("ivf_appended_counts", {})
+        for cell, n in cell_counts.items():
+            appended[str(cell)] = int(appended.get(str(cell), 0)) + n
+        _commit_meta(index_dir, meta)
+        return meta
 
 
-def compact_ann_index(
-    spark: SparkSession, index_dir: str
-) -> dict:
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold applied deltas back into the base artifacts (one rewrite,
     bucket-repartitioned) and clear the delta log — bounds the number
     of relations a reader unions as appends accumulate. No-op when no
-    deltas are applied."""
+    deltas are applied.
+
+    Crash-safe via the versioned-dir pattern: the folded artifacts are
+    written to NEW ``lsh_v<N>``/``ivf_v<N>`` dirs and the meta replace
+    (new dir pointers + emptied applied_deltas + extended
+    compacted_deltas) is the single atomic commit point. A crash
+    before it leaves the old meta referencing the old, untouched
+    artifacts + deltas; a crash after it (during cleanup) leaves
+    unreachable dirs that the next locked writer garbage-collects.
+    Folded fingerprints are KEPT in ``compacted_deltas`` so an
+    at-least-once redelivery of an already-compacted delta is still a
+    replay no-op. Holds the writer lock: never races a build/append.
+    """
+    with _WriterLock(index_dir):
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
+        # replay any crashed predecessor's post-commit cleanup first
+        _gc_unreferenced(index_dir, meta)
+        deltas = meta.get("applied_deltas") or []
+        if not deltas:
+            return meta
+        version = int(meta.get("version", 0)) + 1
+        new_dirs = {}
+        for art, part_col in (("lsh", "bucket"), ("ivf", "ivf_bucket")):
+            rel = _read_with_deltas(spark, index_dir, meta, art)
+            new_dirs[art] = _versioned_name(art, version)
+            (
+                _salted(rel, part_col)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(f"{index_dir}/{new_dirs[art]}")
+            )
+        meta["version"] = version
+        meta["lsh_dir"] = new_dirs["lsh"]
+        meta["ivf_dir"] = new_dirs["ivf"]
+        meta["applied_deltas"] = []
+        meta.setdefault("compacted_deltas", []).extend(deltas)
+        _commit_meta(index_dir, meta)  # single atomic commit point
+        _gc_unreferenced(index_dir, meta)
+        return meta
+
+
+def ivf_drift(meta: dict) -> dict:
+    """IVF centroid-drift metric from the per-cell occupancy meta.
+
+    Appends quantize against FROZEN centroids; as the ingested
+    distribution moves away from the training distribution, new
+    vectors pile into a few cells and nprobe-pruned recall silently
+    degrades. Two cheap, meta-only signals capture this (no Spark
+    job — both are maintained incrementally by build/append):
+
+      * ``appended_frac`` — fraction of the corpus quantized with
+        frozen centroids (drift exposure);
+      * ``imbalance_now`` vs ``imbalance_build`` — max/mean cell
+        occupancy today vs at training time (drift expression: a
+        drifted distribution concentrates appends).
+
+    ``drifted`` is True when appends concentrate (imbalance grew
+    ≥ ``2x`` build-time) or dominate (> half the corpus appended).
+    """
+    n_cells = max(len(meta.get("centroids") or []), 1)
+    build = {int(k): v for k, v in (meta.get("ivf_build_counts") or {}).items()}
+    appended = {
+        int(k): v for k, v in (meta.get("ivf_appended_counts") or {}).items()
+    }
+    totals = {
+        c: build.get(c, 0) + appended.get(c, 0)
+        for c in set(build) | set(appended)
+    }
+    n_build = sum(build.values())
+    n_app = sum(appended.values())
+    imb_build = (
+        max(build.values()) / (n_build / n_cells) if n_build else 1.0
+    )
+    n_total = n_build + n_app
+    imb_now = (
+        max(totals.values()) / (n_total / n_cells) if n_total else 1.0
+    )
+    appended_frac = n_app / n_total if n_total else 0.0
+    return {
+        "imbalance_build": imb_build,
+        "imbalance_now": imb_now,
+        "appended_frac": appended_frac,
+        "drifted": imb_now >= 2.0 * imb_build or appended_frac > 0.5,
+    }
+
+
+def retrain_if_drifted(
+    emb_full: DataFrame,
+    index_dir: str,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict, bool]:
+    """Rebuild the index with freshly TRAINED centroids when
+    ``ivf_drift`` trips — the automated analog of the 'retrain
+    periodically, like any IVF system' operational note. ``emb_full``
+    must be the full current corpus (base + appended vectors).
+    -> (meta, retrained)."""
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    deltas = meta.get("applied_deltas") or []
-    if not deltas:
-        return meta
-    for art, part_col in (("lsh", "bucket"), ("ivf", "ivf_bucket")):
-        rel = _read_with_deltas(spark, index_dir, art, deltas)
-        tmp = f"{index_dir}/.{art}_compact_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            _salted(rel, part_col)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(tmp)
-        )
-        old = f"{index_dir}/.{art}_old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(f"{index_dir}/{art}", old)
-        os.rename(tmp, f"{index_dir}/{art}")
-        shutil.rmtree(old, ignore_errors=True)
-    meta["applied_deltas"] = []
-    _commit_meta(index_dir, meta)
-    shutil.rmtree(f"{index_dir}/deltas", ignore_errors=True)
-    return meta
+    if not ivf_drift(meta)["drifted"]:
+        return meta, False
+    meta = build_ann_index(
+        emb_full,
+        index_dir,
+        n_planes=int(meta["n_planes"]),
+        n_centroids=int(meta["n_centroids"]),
+        id_col=id_col,
+        vec_col=vec_col,
+        resume=False,
+        kmeans_iters=kmeans_iters,
+    )
+    return meta, True
 
 
 def _read_with_deltas(
-    spark: SparkSession, index_dir: str, art: str, deltas: list[str]
+    spark: SparkSession, index_dir: str, meta: dict, art: str
 ) -> DataFrame:
-    """Base artifact unioned with every APPLIED delta's staging dir.
-    Each root is its own partitioned parquet relation, so partition
-    pruning on the bucket column pushes into every scan."""
-    df = spark.read.parquet(f"{index_dir}/{art}")
-    for fp in deltas:
-        tag = fp.replace(":", "_").replace("-", "m")
+    """Base artifact (resolved through meta's versioned-dir pointer)
+    unioned with every APPLIED delta's staging dir. Each root is its
+    own partitioned parquet relation, so partition pruning on the
+    bucket column pushes into every scan."""
+    df = spark.read.parquet(_art_dir(index_dir, meta, art))
+    for fp in meta.get("applied_deltas") or []:
         df = df.unionByName(
-            spark.read.parquet(f"{index_dir}/deltas/{tag}/{art}")
+            spark.read.parquet(f"{index_dir}/deltas/{_delta_tag(fp)}/{art}")
         )
     return df
 
@@ -320,9 +509,8 @@ class AnnIndex:
         # bucket directory (2^n_planes dirs) — pay that per engine,
         # not per query. Applied append deltas union in (each root is
         # partition-pruned independently).
-        deltas = self.meta.get("applied_deltas") or []
-        self._lsh = _read_with_deltas(spark, index_dir, "lsh", deltas)
-        self._ivf = _read_with_deltas(spark, index_dir, "ivf", deltas)
+        self._lsh = _read_with_deltas(spark, index_dir, self.meta, "lsh")
+        self._ivf = _read_with_deltas(spark, index_dir, self.meta, "ivf")
 
     # ------------------------------------------------------------- LSH
 

@@ -472,3 +472,162 @@ def test_banded_neardup_bounds_fanin_and_keeps_recall(spark, tmp_path):
     ).collect()
     assert all(r["cos"] >= 0.95 for r in rows)
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_compact_crash_before_meta_commit_leaves_index_consistent(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Compaction writes folded artifacts to NEW versioned dirs and
+    the meta replace is the single commit point: a crash after both
+    artifact writes but before the meta commit leaves the old meta
+    referencing the old, untouched base + delta — readers see exactly
+    the pre-compact rows, and the retried compaction commits once
+    with no duplicates (ADVICE r3: the in-place swap lost this)."""
+    d = str(tmp_path / "anncompcrash")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ann.build_ann_index(
+        half1, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    ann.append_ann_index(half2, d)
+    n_total = emb.count()
+
+    boom = RuntimeError("crash before meta commit")
+    real_commit = ann._commit_meta
+
+    def crashing_commit(index_dir, meta):
+        raise boom
+
+    monkeypatch.setattr(ann, "_commit_meta", crashing_commit)
+    with pytest.raises(RuntimeError, match="crash before meta commit"):
+        ann.compact_ann_index(spark, d)
+    monkeypatch.setattr(ann, "_commit_meta", real_commit)
+
+    # old meta still references old dirs + delta: reader is whole
+    idx = ann.AnnIndex(spark, d)
+    assert len(idx.meta["applied_deltas"]) == 1
+    assert idx._lsh.count() == n_total
+    assert idx._ivf.count() == n_total
+    # retry folds exactly once and gc's the orphaned versioned dirs
+    meta = ann.compact_ann_index(spark, d)
+    assert meta["applied_deltas"] == []
+    idx2 = ann.AnnIndex(spark, d)
+    assert idx2._lsh.count() == n_total
+    assert idx2._ivf.count() == n_total
+    live = {meta["lsh_dir"], meta["ivf_dir"]}
+    on_disk = {
+        n
+        for n in os.listdir(d)
+        if n.startswith(("lsh", "ivf")) and os.path.isdir(f"{d}/{n}")
+    }
+    assert on_disk == live
+
+
+def test_replay_of_compacted_delta_is_noop(spark, emb, tmp_path):
+    """Exactly-once must survive compaction: a redelivered delta whose
+    fingerprint was folded into the base (meta.compacted_deltas) is a
+    replay no-op, not a second append (ADVICE r3 low)."""
+    d = str(tmp_path / "annreplay")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ann.build_ann_index(
+        half1, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    ann.append_ann_index(half2, d)
+    ann.compact_ann_index(spark, d)
+    meta = ann.append_ann_index(half2, d)  # at-least-once redelivery
+    assert meta["applied_deltas"] == []
+    assert len(meta["compacted_deltas"]) == 1
+    assert meta["n_vectors"] == emb.count()
+    assert ann.AnnIndex(spark, d)._lsh.count() == emb.count()
+
+
+def test_ann_writers_hold_the_writer_lock(spark, emb, tmp_path):
+    """append/compact/build take the same flock writer lock the text
+    index uses: with the lock held (a live concurrent writer), every
+    mutating entry point refuses instead of interleaving its
+    read-modify-write of meta.json (ADVICE r3 medium)."""
+    from gxdindexer_spark.operators.index_build import (
+        ConcurrentWriteError,
+        _WriterLock,
+    )
+
+    d = str(tmp_path / "annlock")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ann.build_ann_index(
+        half1, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    with _WriterLock(d):
+        with pytest.raises(ConcurrentWriteError):
+            ann.append_ann_index(half2, d)
+        with pytest.raises(ConcurrentWriteError):
+            ann.compact_ann_index(spark, d)
+        with pytest.raises(ConcurrentWriteError):
+            ann.build_ann_index(
+                half2, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS,
+                resume=False,
+            )
+    # lock released -> append proceeds
+    meta = ann.append_ann_index(half2, d)
+    assert len(meta["applied_deltas"]) == 1
+
+
+def test_ivf_drift_trigger_and_retrain(spark, emb, tmp_path):
+    """Appends that pile into one frozen cell trip ivf_drift;
+    retrain_if_drifted rebuilds with trained centroids and recall on
+    the retrained index is >= the drifted index's recall for a query
+    inside the appended cluster."""
+    import pandas as pd
+    import numpy as np
+
+    d = str(tmp_path / "anndrift")
+    dim = len(emb.select("embedding").first()[0])
+    meta0 = ann.build_ann_index(
+        emb, d, n_planes=N_PLANES, n_centroids=N_CENTROIDS, resume=False
+    )
+    assert not ann.ivf_drift(meta0)["drifted"]
+
+    # a tight off-distribution cluster, larger than the base corpus
+    n_base = emb.count()
+    rng = np.random.RandomState(7)
+    center = rng.randn(dim)
+    vecs = center + 0.01 * rng.randn(2 * n_base, dim)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(10_000, 10_000 + len(vecs)),
+            "embedding": [
+                [float(x) for x in v.astype(np.float32)] for v in vecs
+            ],
+        }
+    )
+    delta = spark.createDataFrame(pdf).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    meta1 = ann.append_ann_index(delta, d)
+    drift = ann.ivf_drift(meta1)
+    assert drift["appended_frac"] > 0.5
+    assert drift["drifted"]
+
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).unionByName(delta)
+    qvec = [float(x) for x in (center + 0.01 * rng.randn(dim))]
+    exact = {
+        r["vec_id"] for r in similarity.cosine_topk(full, qvec, k=10).collect()
+    }
+    drifted_hits = {
+        r["vec_id"]
+        for r in ann.AnnIndex(spark, d).ivf_topk(qvec, k=10, nprobe=2).collect()
+    }
+    meta2, retrained = ann.retrain_if_drifted(full, d, kmeans_iters=3)
+    assert retrained
+    assert not ann.ivf_drift(meta2)["drifted"]
+    retrained_hits = {
+        r["vec_id"]
+        for r in ann.AnnIndex(spark, d).ivf_topk(qvec, k=10, nprobe=2).collect()
+    }
+    assert len(retrained_hits & exact) >= len(drifted_hits & exact)
+    # a second call is a no-op (fresh build counts, nothing appended)
+    _, again = ann.retrain_if_drifted(full, d, kmeans_iters=3)
+    assert not again
