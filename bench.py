@@ -29,6 +29,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: don't start measuring while the shared host is this loaded (1-min
+#: loadavg); BENCH_r03 carried a phantom ~1.7x "regression" that was
+#: pure host load (loadavg 9.3 recorded in BENCH/cpu_ceiling.json) —
+#: gate like jobs/scaling_bench.py --max-load, then record the actual
+#: loadavg alongside the timings so the artifact is interpretable.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "8.0"))
+MAX_LOAD_WAIT_SEC = 180
 
 # entry-contract queries benched as-is (names match __spark_entry__)
 ENTRY_QUERIES = [
@@ -38,13 +45,12 @@ ENTRY_QUERIES = [
     "window_rank_orders",
     "sessionization",
     "windowed_events_hourly",
-    "union_distinct_custkeys",
+    "relational_composite",
     "tokenize_tf_top50",
-    "dedup_exact",
-    "minhash_signatures",
+    "dedup_fingerprint",
+    "doc_signatures",
     "minhash_lsh_pairs",
-    "simhash16",
-    "quality_scores",
+    "textstats_composite",
     "lang_id",
     "ann_cosine_topk",
     "bm25_brute",
@@ -57,7 +63,34 @@ BM25_QUERIES = [
 ]
 
 
+def _wait_for_idle_host() -> tuple[float, float]:
+    """Block (bounded) until 1-min loadavg drops under MAX_LOAD;
+    -> (loadavg when sampling started, loadavg when measuring began)."""
+    start = os.getloadavg()[0]
+    deadline = time.monotonic() + MAX_LOAD_WAIT_SEC
+    load = start
+    while load > MAX_LOAD and time.monotonic() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return start, load
+
+
+def _timed(timings: dict, name: str, fn, reps: int = 2) -> None:
+    """min-of-``reps`` wall time — a single noisy-neighbor burst can't
+    masquerade as a code regression (one-shot timing was VERDICT r3's
+    top bench-hygiene defect). Mutating steps (builds/appends/deletes)
+    pass reps=1: re-running them would change what's being measured."""
+    best = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    timings[name] = round(best, 3)
+
+
 def main() -> int:
+    load_first_seen, load_at_start = _wait_for_idle_host()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -115,20 +148,21 @@ def main() -> int:
         {f"q{i}": q for i, q in enumerate(BM25_QUERIES)}, k=20
     ).collect()
     timings["bm25_batch3"] = round(time.monotonic() - t0, 3)
-    # wildcard rewrite, boolean clauses, and the facet-count primitive
-    # (the reference's >18s Hoxd* pain point, GxdResultHasImageIndexer)
-    t0 = time.monotonic()
-    eng.topk("st* join", k=20, mode="taat").collect()
-    timings["bm25_wildcard"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    eng.topk("*ble join", k=20, mode="taat").collect()
-    timings["bm25_wildcard_leading"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    eng.topk("+table -merge spark", k=20).collect()
-    timings["bm25_boolean"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    eng.count_matches("st* join").collect()
-    timings["match_count_wildcard"] = round(time.monotonic() - t0, 3)
+    # wildcard/fuzzy rewrites, boolean clauses, and the facet-count
+    # primitive (the reference's >18s Hoxd* pain point,
+    # GxdResultHasImageIndexer)
+    _timed(timings, "bm25_wildcard",
+           lambda: eng.topk("st* join", k=20, mode="taat").collect())
+    _timed(timings, "bm25_wildcard_leading",
+           lambda: eng.topk("*ble join", k=20, mode="taat").collect())
+    _timed(timings, "bm25_wildcard_infix",
+           lambda: eng.topk("t*e join", k=20, mode="taat").collect())
+    _timed(timings, "bm25_fuzzy",
+           lambda: eng.topk("sow~2 join", k=20, mode="taat").collect())
+    _timed(timings, "bm25_boolean",
+           lambda: eng.topk("+table -merge spark", k=20).collect())
+    _timed(timings, "match_count_wildcard",
+           lambda: eng.count_matches("st* join").collect())
     # positional build + exact phrase query
     pidx = idx_dir + "_pos"
     shutil.rmtree(pidx, ignore_errors=True)
@@ -142,33 +176,26 @@ def main() -> int:
     ).build(entrymod._docs_for_index(spark, SF_DIR), pidx, resume=False)
     timings["index_build_positional"] = round(time.monotonic() - t0, 3)
     peng = IndexQueryEngine(spark, pidx)
-    t0 = time.monotonic()
-    peng.phrase_topk("table part", k=15).collect()
-    timings["bm25_phrase"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    peng.phrase_topk("table part", k=15, slop=2).collect()
-    timings["bm25_phrase_sloppy"] = round(time.monotonic() - t0, 3)
+    _timed(timings, "bm25_phrase",
+           lambda: peng.phrase_topk("table part", k=15).collect())
+    _timed(timings, "bm25_phrase_sloppy",
+           lambda: peng.phrase_topk("table part", k=15, slop=2).collect())
     # facet counts over the match set (the reference's Hoxd*-has-image
     # pattern: group the match set by a doc attribute)
     facets = entrymod._t(spark, SF_DIR, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
-    t0 = time.monotonic()
-    eng.facet_counts("st* join", facets, by="source").collect()
-    timings["facet_counts"] = round(time.monotonic() - t0, 3)
+    _timed(timings, "facet_counts",
+           lambda: eng.facet_counts("st* join", facets, by="source").collect())
     # shard-local variant: counts resolve inside the per-shard pass
     # against direct doc-store partition reads (no match-set shuffle)
-    t0 = time.monotonic()
-    eng.facet_counts_stored("st* join", by="source").collect()
-    timings["facet_counts_stored"] = round(time.monotonic() - t0, 3)
+    _timed(timings, "facet_counts_stored",
+           lambda: eng.facet_counts_stored("st* join", by="source").collect())
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        del n
+        _timed(timings, name, lambda fn=fn: fn(spark, SF_DIR).count())
 
     # ---------------------------------------------- materialized ANN
     # one-time index build (scan + partitioned write), then
@@ -183,22 +210,19 @@ def main() -> int:
     timings["ann_index_build"] = round(time.monotonic() - t0, 3)
     aidx = ann.AnnIndex(spark, ann_dir)
     qvec = entrymod._query_vec(spark, SF_DIR)
-    t0 = time.monotonic()
-    aidx.lsh_topk(qvec, k=10, probes=3).collect()
-    timings["ann_lsh_topk"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    aidx.ivf_topk(qvec, k=10, nprobe=3).collect()
-    timings["ann_ivf_topk"] = round(time.monotonic() - t0, 3)
-    # embedding near-dup blocked by the persisted LSH buckets
-    t0 = time.monotonic()
-    aidx.lsh_neardup_pairs(threshold=0.3).count()
-    timings["embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
-    # banded fan-in-bounded variant (id-only candidates, then hydrate)
-    t0 = time.monotonic()
-    aidx.lsh_neardup_pairs_banded(
-        threshold=0.3, bands=3, rows_per_band=2
-    ).count()
-    timings["embedding_neardup_banded"] = round(time.monotonic() - t0, 3)
+    _timed(timings, "ann_lsh_topk",
+           lambda: aidx.lsh_topk(qvec, k=10, probes=3).collect())
+    _timed(timings, "ann_ivf_topk",
+           lambda: aidx.ivf_topk(qvec, k=10, nprobe=3).collect())
+    # embedding near-dup: BOTH registered entries now run the banded
+    # bounded-fan-in plan (id-only candidates, then hydrate); the
+    # params mirror the entry wiring (lsh: 2x3-bit, banded: 3x2-bit)
+    _timed(timings, "embedding_neardup_lsh",
+           lambda: aidx.lsh_neardup_pairs_banded(
+               threshold=0.3, bands=2, rows_per_band=3).count())
+    _timed(timings, "embedding_neardup_banded",
+           lambda: aidx.lsh_neardup_pairs_banded(
+               threshold=0.3, bands=3, rows_per_band=2).count())
 
     # ------------------------------------- incremental index maintenance
     # append ONE new shard: the commit must cost O(delta) — the
@@ -249,6 +273,10 @@ def main() -> int:
                     if k in build_metrics
                 },
                 "cpus": int(CPUS),
+                "reps": "min-of-2 per query (mutating steps 1-shot)",
+                "loadavg_first_seen": round(load_first_seen, 2),
+                "loadavg_at_start": round(load_at_start, 2),
+                "loadavg_at_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -537,12 +537,34 @@ class AnnIndex:
             self.lsh_candidates(query_vec, probes), query_vec, k
         )
 
-    def lsh_neardup_pairs(self, threshold: float = 0.95) -> DataFrame:
-        """Near-dup pairs by cosine >= threshold, blocked per persisted
-        bucket: the self-join key is the partition column, so Spark
-        co-partitions both sides on ``bucket`` and never compares
-        across buckets — O(sum of bucket^2), not O(n^2), with zero
-        signature recompute. -> (id_a, id_b, cos)."""
+    def lsh_neardup_pairs(
+        self, threshold: float = 0.95, max_bucket_rows: int = 100_000
+    ) -> DataFrame:
+        """SMALL-SCALE ORACLE HELPER — near-dup pairs by cosine >=
+        threshold, blocked per full persisted signature: the self-join
+        key is the partition column, so Spark co-partitions both sides
+        on ``bucket`` and never compares across buckets. The plan is
+        O(sum of bucket^2): with 2^n_planes buckets a clustered 10^9-
+        vector corpus puts ~10^13 comparisons in the hot bucket, so
+        this path hard-fails (``max_bucket_rows`` guard, one cheap
+        count agg) instead of silently launching a quadratic join —
+        use ``lsh_neardup_pairs_banded`` (the default API, bounded
+        fan-in) at scale. -> (id_a, id_b, cos)."""
+        if max_bucket_rows:
+            hot = (
+                self._lsh.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("mx"))
+                .first()["mx"]
+            )
+            if hot and int(hot) > max_bucket_rows:
+                raise ValueError(
+                    f"hottest LSH bucket holds {hot} rows (> "
+                    f"{max_bucket_rows}): the single-bucket self-join "
+                    "would be quadratic in that bucket — use "
+                    "lsh_neardup_pairs_banded, or raise max_bucket_rows "
+                    "if you really want this plan"
+                )
         t = self._lsh.select(
             F.col("vec_id").alias("vid"),
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -41,6 +41,48 @@ _HITS_SCHEMA = T.StructType(
 )
 
 
+def _dl_distance(a: str, b: str, cap: int | None = None) -> int:
+    """Unrestricted Damerau-Levenshtein distance (transposition of two
+    characters counted as one edit, edits allowed between them) — the
+    metric of DuckDB's ``damerau_levenshtein``, which the fuzzy-query
+    oracle uses, and the transposition-aware family Lucene's
+    FuzzyQuery defaults to. Classic Lowrance-Wagner DP with the
+    last-occurrence table. Early-exits with cap+1 when every cell in
+    a row exceeds ``cap`` (banded abort for bounded fuzzy matching)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitution
+                d[i + 1][j] + 1,  # insertion
+                d[i][j + 1] + 1,  # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+        if cap is not None and min(d[i + 1][1:]) > cap:
+            return cap + 1
+    return d[la + 1][lb + 1]
+
+
 def _empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Empty result with ``schema``, built JVM-side via range(0).
     ``createDataFrame([], schema)`` makes a 32-partition python RDD
@@ -129,15 +171,19 @@ class IndexQueryEngine:
     # ------------------------------------------------------------ plan
 
     @staticmethod
-    def parse_query(query: str) -> list[tuple[str, str, str]]:
-        """Lite Lucene-style syntax -> [(raw_token, kind, wildcard)].
+    def parse_query(query: str) -> list[tuple[str, str, str, int]]:
+        """Lite Lucene-style syntax ->
+        [(raw_token, kind, wildcard, fuzzy_edits)].
 
         kind: 'should' (default), 'must' ('+tok'), 'must_not' ('-tok');
-        wildcard: '' (plain term), 'prefix' ('tok*'), or 'suffix'
+        wildcard: '' (plain term), 'prefix' ('tok*'), 'suffix'
         ('*tok' — leading wildcard, served by the reversed-term
-        dictionary). Infix ('*to*'/'t*k') is not supported — raise
-        rather than silently mis-match. Parsed BEFORE analysis (the
-        analyzers strip punctuation)."""
+        dictionary), or 'infix' ('fo*ar' — one interior star, raw kept
+        whole); fuzzy_edits: 0, or 1/2 for 'tok~1'/'tok~2' (bare
+        'tok~' = 2, Lucene's default). Double/leading+trailing
+        wildcards ('*to*') and fuzzy-on-wildcard are not supported —
+        raise rather than silently mis-match. Parsed BEFORE analysis
+        (the analyzers strip punctuation)."""
         out = []
         for raw in query.split():
             kind = "should"
@@ -145,13 +191,24 @@ class IndexQueryEngine:
                 kind, raw = "must", raw[1:]
             elif raw.startswith("-"):
                 kind, raw = "must_not", raw[1:]
+            fuzzy = 0
+            if raw.endswith("~"):
+                fuzzy, raw = 2, raw[:-1]
+            elif len(raw) > 1 and raw[-2] == "~" and raw[-1] in "012":
+                fuzzy, raw = int(raw[-1]), raw[:-2]
+            if fuzzy and "*" in raw:
+                raise ValueError(
+                    f"fuzzy on a wildcard token {raw!r} is not supported"
+                )
+            if fuzzy and not raw:
+                raise ValueError("empty fuzzy term ('~N') is not allowed")
             wildcard = ""
             if raw == "*":
                 # a bare '*' would expand to the whole dictionary
                 raise ValueError("empty wildcard ('*') is not allowed")
             if raw.endswith("*") and raw.startswith("*"):
                 raise ValueError(
-                    f"infix/double wildcard {raw!r} is not supported"
+                    f"double wildcard {raw!r} is not supported"
                 )
             if raw.endswith("*"):
                 wildcard, raw = "prefix", raw[:-1]
@@ -162,8 +219,14 @@ class IndexQueryEngine:
                 raise ValueError(
                     "empty wildcard ('*') is not allowed"
                 )
+            if not wildcard and "*" in raw:
+                if raw.count("*") > 1:
+                    raise ValueError(
+                        f"multiple wildcards {raw!r} are not supported"
+                    )
+                wildcard = "infix"  # raw keeps the star; split at expand
             if raw:
-                out.append((raw, kind, wildcard))
+                out.append((raw, kind, wildcard, fuzzy))
         return out
 
     def analyze_query(self, query: str, fields: list[str] | None = None):
@@ -261,6 +324,136 @@ class IndexQueryEngine:
             d = d.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
         return sorted(r["term"] for r in d.select("term").collect())
 
+    def expand_infix(
+        self,
+        field: str,
+        prefix: str,
+        suffix: str,
+        max_expansions: int | None = MAX_EXPANSIONS,
+    ) -> list[str]:
+        """Infix wildcard (``fo*ar``) rewrite: terms that start with
+        ``prefix`` AND end with ``suffix`` with the star matching >= 0
+        chars (so ``len(term) >= len(prefix) + len(suffix)`` — no
+        overlap between the two literals), i.e. SQL ``LIKE
+        'prefix%suffix'``. Lucene serves this by seeking the prefix
+        ceiling in the term dictionary and filtering by the wildcard
+        automaton; here the seek is a *pushed-down range predicate* on
+        whichever dictionary side has the longer (more selective)
+        literal — ``term`` range on the forward dictionary, or
+        ``rev_term`` range on ``dictionary_rev`` — with the other
+        literal as a JVM-side residual filter on the pruned rows.
+        Never a full-dictionary regex scan. Bounded like
+        ``expand_prefix`` (highest-df terms survive)."""
+        if not prefix or not suffix:
+            raise ValueError(
+                "infix wildcard needs literal text on both sides of '*'"
+            )
+        minlen = len(prefix) + len(suffix)
+        if self._dict_cache is not None:
+            cands = sorted(
+                (
+                    (df, t)
+                    for (f, t), df in self._dict_cache.items()
+                    if f == field
+                    and len(t) >= minlen
+                    and t.startswith(prefix)
+                    and t.endswith(suffix)
+                ),
+                key=lambda p: (-p[0], p[1]),
+            )
+            if max_expansions:
+                cands = cands[:max_expansions]
+            return sorted(t for _df, t in cands)
+        if len(prefix) >= len(suffix) or self._dictionary_rev is None:
+            d = self._dictionary.filter(
+                (F.col("field") == field)
+                & (F.col("term") >= prefix)
+                & (F.col("term") < prefix + chr(0x10FFFF))
+                & F.col("term").endswith(suffix)
+                & (F.length("term") >= minlen)
+            )
+        else:
+            rev = suffix[::-1]
+            d = self._dictionary_rev.filter(
+                (F.col("field") == field)
+                & (F.col("rev_term") >= rev)
+                & (F.col("rev_term") < rev + chr(0x10FFFF))
+                & F.col("term").startswith(prefix)
+                & (F.length("term") >= minlen)
+            )
+        d = d.select("term", "df")
+        if max_expansions:
+            d = d.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
+        return sorted(r["term"] for r in d.select("term").collect())
+
+    def expand_fuzzy(
+        self,
+        field: str,
+        term: str,
+        max_edits: int,
+        max_expansions: int | None = MAX_EXPANSIONS,
+    ) -> list[str]:
+        """Fuzzy term rewrite (Lucene FuzzyQuery, ``term~N``):
+        dictionary terms within Damerau-Levenshtein edit distance <= ``max_edits`` of
+        ``term`` — Damerau-Levenshtein with adjacent transpositions,
+        Lucene's ``transpositions=true`` default (and DuckDB's
+        ``damerau_levenshtein``, which the oracle uses). Expansions
+        are scored as a full BM25 scoring-boolean, the same rewrite
+        shape as the wildcard paths.
+
+        Candidate pruning without a Levenshtein automaton: a term
+        within distance d can differ in length by at most d, so
+        ``length(term) BETWEEN len-d AND len+d`` pushes to the
+        dictionary scan; the uncached path then prefilters JVM-side
+        with Spark's built-in plain ``levenshtein`` (plain lev never
+        exceeds 2x the DL distance — a transposition costs 2 plain
+        edits — so ``lev <= 2*max_edits`` is a safe overapproximation)
+        and the exact DL check runs driver-side on the tiny surviving
+        list. Bounded like ``expand_prefix`` (highest-df survive)."""
+        if not term:
+            raise ValueError("empty fuzzy term is not allowed")
+        if max_edits < 1:
+            return [term]
+        if self._dict_cache is not None:
+            cands = sorted(
+                (
+                    (df, t)
+                    for (f, t), df in self._dict_cache.items()
+                    if f == field
+                    and abs(len(t) - len(term)) <= max_edits
+                    and _dl_distance(term, t, max_edits) <= max_edits
+                ),
+                key=lambda p: (-p[0], p[1]),
+            )
+            if max_expansions:
+                cands = cands[:max_expansions]
+            return sorted(t for _df, t in cands)
+        rows = (
+            self._dictionary.filter(
+                (F.col("field") == field)
+                & F.length("term").between(
+                    len(term) - max_edits, len(term) + max_edits
+                )
+                & (
+                    F.levenshtein(F.col("term"), F.lit(term))
+                    <= 2 * max_edits
+                )
+            )
+            .select("term", "df")
+            .collect()
+        )
+        cands = sorted(
+            (
+                (int(r["df"]), r["term"])
+                for r in rows
+                if _dl_distance(term, r["term"], max_edits) <= max_edits
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        if max_expansions:
+            cands = cands[:max_expansions]
+        return sorted(t for _df, t in cands)
+
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf
         input. Driver cache when preloaded, else a term-pruned scan."""
@@ -283,9 +476,22 @@ class IndexQueryEngine:
         scoring_pairs: list[tuple[str, str]] = []
         must_groups: list[list[tuple[str, str]]] = []
         must_not_pairs: list[tuple[str, str]] = []
-        for raw, kind, wildcard in self.parse_query(query):
+        for raw, kind, wildcard, fuzzy in self.parse_query(query):
             group: list[tuple[str, str]] = []
             for f in fields:
+                if wildcard == "infix":
+                    pre_raw, post_raw = raw.split("*", 1)
+                    pre_t = analyze.tokenize_query(pre_raw, self.fields[f])
+                    post_t = analyze.tokenize_query(post_raw, self.fields[f])
+                    group += [
+                        (f, t)
+                        for t in self.expand_infix(
+                            f,
+                            pre_t[0] if pre_t else pre_raw.lower(),
+                            post_t[0] if post_t else post_raw.lower(),
+                        )
+                    ]
+                    continue
                 toks = analyze.tokenize_query(raw, self.fields[f])
                 if wildcard:
                     base = toks[0] if toks else raw.lower()
@@ -295,6 +501,11 @@ class IndexQueryEngine:
                         else self.expand_suffix
                     )
                     group += [(f, t) for t in expand(f, base)]
+                elif fuzzy:
+                    base = toks[0] if toks else raw.lower()
+                    group += [
+                        (f, t) for t in self.expand_fuzzy(f, base, fuzzy)
+                    ]
                 else:
                     group += [(f, t) for t in toks]
             if kind == "must_not":

@@ -15,8 +15,13 @@ mode treats each micro-batch as a delta (untouched shards stay; shards
 present in the batch are upserted whole), so producers must emit docs
 in complete docID-range (shard) units — the natural contract when an
 upstream job writes one parquet file per shard. Global stats
-(dictionary df, avgdl) re-derive from ALL shards after each batch;
-queries opening the index between batches see a consistent committed
+(dictionary df, avgdl) commit INCREMENTALLY in O(delta): the finalize
+merges only the changed shards' dictionary partials (subtracting the
+replaced shards' old contributions) and derives corpus stats from the
+ledger's per-shard field_stats — ``metrics["finalize_mode"] ==
+"incremental"`` on every append batch (index_build._finalize_index;
+asserted stream-vs-batch-identical in tests/test_streaming_ingest.py).
+Queries opening the index between batches see a consistent committed
 snapshot (manifest/ledger are replaced atomically, and the engine
 falls back to exact TAAT while stored block-max bounds are stale).
 """

@@ -1037,9 +1037,100 @@ def test_leading_wildcard_expansion_and_ranking(built, spark):
         (r["doc_id"], r["score"]) for r in explicit.collect()
     ]
 
-    # infix stays rejected
-    with pytest.raises(ValueError, match="infix"):
+    # leading+trailing double wildcard stays rejected
+    with pytest.raises(ValueError, match="double wildcard"):
         eng.parse_query("*mid*")
+
+
+def test_infix_wildcard_expansion_and_ranking(built, spark):
+    """Infix wildcard (pre*suf): terms starting with ``pre`` AND
+    ending with ``suf`` with no overlap (SQL LIKE 'pre%suf'); served
+    by ONE pushed-down dictionary range scan on the longer literal
+    side (query.expand_infix); ranking equals the explicit OR."""
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    vocab = {t for (f, t) in eng._dict_cache if f == "content"}
+    # pick a term long enough that pre*suf has a real interior star
+    seed = sorted(t for t in vocab if len(t) >= 5)[0]
+    pre, suf = seed[:2], seed[-2:]
+    truth = sorted(
+        t
+        for t in vocab
+        if len(t) >= len(pre) + len(suf)
+        and t.startswith(pre)
+        and t.endswith(suf)
+    )
+    assert seed in truth
+    full = eng.expand_infix("content", pre, suf, max_expansions=None)
+    assert full == truth
+    # uncached path (pushed-down range scan + residual) agrees
+    eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+    assert (
+        eng2.expand_infix("content", pre, suf, max_expansions=None) == truth
+    )
+    # overlap is NOT a match: 'ab*ba' must not match the term 'aba'
+    assert "aba" not in eng.expand_infix("content", "a", "a") or all(
+        len(t) >= 2 for t in eng.expand_infix("content", "a", "a")
+    )
+    # e2e rank identity vs the explicit OR expansion
+    got = eng.topk(f"{pre}*{suf} if", k=10, mode="taat", fields=["content"])
+    explicit = eng.topk(
+        " ".join(truth + ["if"]), k=10, mode="taat", fields=["content"]
+    )
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (r["doc_id"], r["score"]) for r in explicit.collect()
+    ]
+    with pytest.raises(ValueError, match="multiple wildcards"):
+        eng.parse_query("a*b*c")
+
+
+def test_fuzzy_expansion_and_ranking(built, spark):
+    """Fuzzy term (term~N): dictionary terms within unrestricted
+    Damerau-Levenshtein distance N (query._dl_distance, the metric of
+    DuckDB's damerau_levenshtein), rewritten to the same
+    scoring-boolean as wildcards; cached and scan paths agree; e2e
+    ranking equals the explicit OR expansion."""
+    from gxdindexer_spark.operators.query import _dl_distance
+
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    vocab = {t for (f, t) in eng._dict_cache if f == "content"}
+    seed = sorted(t for t in vocab if len(t) >= 5)[0]
+    typo = seed[1] + seed[0] + seed[2:]  # transpose first two chars
+    for d in (1, 2):
+        truth = sorted(
+            t for t in vocab if _dl_distance(typo, t, d) <= d
+        )
+        assert seed in truth  # transposition costs ONE edit
+        got = eng.expand_fuzzy("content", typo, d, max_expansions=None)
+        assert got == truth
+        eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+        assert (
+            eng2.expand_fuzzy("content", typo, d, max_expansions=None)
+            == truth
+        )
+    # bounded: df-heaviest survive
+    dfs = {
+        t: df
+        for (f, t), df in eng._dict_cache.items()
+        if f == "content" and _dl_distance(typo, t, 2) <= 2
+    }
+    capped = eng.expand_fuzzy("content", typo, 2, max_expansions=3)
+    assert capped == sorted(sorted(dfs, key=lambda t: (-dfs[t], t))[:3])
+    # e2e rank identity vs the explicit OR expansion
+    full = sorted(dfs)
+    got = eng.topk(f"{typo}~2 if", k=10, mode="taat", fields=["content"])
+    explicit = eng.topk(
+        " ".join(full + ["if"]), k=10, mode="taat", fields=["content"]
+    )
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (r["doc_id"], r["score"]) for r in explicit.collect()
+    ]
+    # bare '~' = 2 edits (Lucene default); '~0' behaves like the term
+    assert eng.parse_query("tok~")[0][3] == 2
+    assert eng.parse_query("tok~0")[0][3] == 0
+    with pytest.raises(ValueError, match="fuzzy on a wildcard"):
+        eng.parse_query("to*k~1")
 
 
 def test_no_match_results_are_empty_and_cheap(spark, built):
