@@ -818,6 +818,22 @@ def ann_cosine_topk_q(spark, sf_dir):
     return similarity.cosine_topk(e, qvec, k=15)
 
 
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg (persisted index, TAAT —
+    the bm25_index_taat plan) + exact cosine vector leg (the
+    ann_cosine_topk plan, which continues to be evidenced here) fused
+    by reciprocal-rank fusion (operators/fusion.rrf_fuse, Cormack et
+    al. SIGIR'09) — the RAG/training-pipeline retrieval stack in one
+    operator. Legs are top-20 each; fused top-15."""
+    from gxdindexer_spark.operators import fusion
+
+    lex = _bm25_index(spark, sf_dir, "taat")
+    vec = similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=20
+    ).select(F.col("vec_id").alias("doc_id"), "cos")
+    return fusion.rrf_fuse([(lex, "score"), (vec, "cos")], k=15)
+
+
 ANN_PLANES_N = 6
 ANN_CENTROIDS_N = 8
 EMB_DIM = 64
@@ -990,7 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_lsh_pairs": minhash_lsh_pairs_q,
         "neardup_components": neardup_components_q,
-        "ann_cosine_topk": ann_cosine_topk_q,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
         "embedding_neardup_exact": embedding_neardup_exact_q,
@@ -1779,18 +1795,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lbl)::BIGINT AS component_id
             FROM reach GROUP BY node
         """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-                       WHERE vec_id = 0),
-            s AS (
+        "hybrid_rrf_topk": f"""
+            WITH lex AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS r
+              FROM ({_bm25_sql(_in_list(BM25_TERMS), k=20)})),
+            vraw AS (
               SELECT vec_id,
                      list_dot_product(embedding::DOUBLE[], qv)
                        / (sqrt(list_dot_product(embedding::DOUBLE[],
                                                 embedding::DOUBLE[]))
                           * sqrt(list_dot_product(qv, qv))) AS c
-              FROM embeddings CROSS JOIN q)
-            SELECT vec_id, round(c, 6) AS cos FROM s
-            ORDER BY c DESC, vec_id ASC LIMIT 15
+              FROM embeddings CROSS JOIN
+                   (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0) q
+              ORDER BY c DESC, vec_id ASC LIMIT 20),
+            vec AS (
+              SELECT vec_id AS doc_id, round(c, 6) AS cos,
+                     row_number() OVER (ORDER BY round(c, 6) DESC,
+                                        vec_id ASC) AS r
+              FROM vraw),
+            fused AS (
+              SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     coalesce(1.0::DOUBLE / (60 + l.r), 0.0)
+                       + coalesce(1.0::DOUBLE / (60 + v.r), 0.0) AS s
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+            SELECT doc_id, round(s, 6) AS rrf FROM fused
+            ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 15
         """,
         "embedding_neardup_exact": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

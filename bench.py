@@ -52,7 +52,7 @@ ENTRY_QUERIES = [
     "minhash_lsh_pairs",
     "textstats_composite",
     "lang_id",
-    "ann_cosine_topk",
+    "hybrid_rrf_topk",
     "bm25_brute",
 ]
 

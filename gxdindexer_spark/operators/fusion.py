@@ -1,0 +1,63 @@
+"""Hybrid retrieval: reciprocal-rank fusion of ranked result lists.
+
+A training-data / RAG pipeline retrieves with BOTH a lexical index
+(BM25 top-k) and a vector index (cosine top-k) and needs one fused
+ranking. Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+2009: ``score(d) = sum_legs 1/(c + rank_leg(d))``, c=60) is the
+standard scoreless combiner — it needs only the per-leg RANKS, so
+incomparable score scales (BM25 sums vs cosine) fuse without
+normalization tuning.
+
+Scale shape: each leg is already a top-k (<= k rows reach the driver
+plan); fusion is a full-outer join + window over <= legs*k tiny rows —
+negligible next to the legs themselves. Ranks derive from each leg's
+ROUNDED score with id-asc tiebreak, making the fused ordering
+deterministic and reproducible in ANSI SQL (the DuckDB oracle mirrors
+rank-then-fuse exactly).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    legs: list[tuple[DataFrame, str]],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse ranked lists by RRF. ``legs``: (frame, score_col) pairs —
+    each frame holds one retriever's top results keyed by ``id_col``.
+    Per leg, rank = row_number over (score desc, id asc); a document
+    missing from a leg contributes 0 for that leg (the standard RRF
+    convention). -> (id_col, rrf) top-k, rrf desc, id asc."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    ranked = []
+    for i, (df, score_col) in enumerate(legs):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias(f"rank_{i}"),
+            )
+        )
+    joined = reduce(
+        lambda a, b: a.join(b, id_col, "full_outer"), ranked
+    )
+    contribs = [
+        F.coalesce(
+            1.0 / (F.lit(c) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(len(legs))
+    ]
+    rrf = reduce(lambda a, b: a + b, contribs)
+    return (
+        joined.select(id_col, F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -376,3 +376,41 @@ def test_neardup_components_chains_and_singletons(spark):
     # keep-rule: canonical docs are exactly the component minima
     keep = sorted(d for d, c in got.items() if d == c)
     assert keep == [0, 1, 4, 5, 7, 8, 9, 20]
+
+
+def test_rrf_fuse_ranks_and_missing_leg_convention(spark):
+    """RRF (Cormack et al. SIGIR'09): score = sum 1/(60+rank); a doc
+    missing from a leg contributes 0 for it. Doc in both legs at
+    mid-rank must outrank a doc that tops one leg only; ties break
+    id-asc; ranks derive from (score desc, id asc)."""
+    import pandas as pd
+
+    from gxdindexer_spark.operators import fusion
+
+    lex = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "score": [9.0, 8.0, 7.0]})
+    )
+    vec = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 4], "cos": [0.9, 0.8, 0.7]})
+    )
+    got = fusion.rrf_fuse(
+        [(lex, "score"), (vec, "cos")], k=4
+    ).collect()
+    # expected: doc2 = 1/62+1/61, doc3 = 1/63+1/62, doc1 = 1/61,
+    # doc4 = 1/63
+    exp = {
+        1: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63 + 1 / 62, 6),
+        4: round(1 / 63, 6),
+    }
+    assert [(r["doc_id"], r["rrf"]) for r in got] == [
+        (2, exp[2]), (3, exp[3]), (1, exp[1]), (4, exp[4])
+    ]
+    # score ties rank id-asc: equal scores -> lower id gets rank 1
+    tied = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 5], "score": [1.0, 1.0]})
+    )
+    got2 = fusion.rrf_fuse([(tied, "score")], k=2).collect()
+    assert [r["doc_id"] for r in got2] == [5, 7]
+    assert got2[0]["rrf"] == round(1 / 61, 6)
