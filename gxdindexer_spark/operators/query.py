@@ -196,6 +196,13 @@ class IndexQueryEngine:
                 fuzzy, raw = 2, raw[:-1]
             elif len(raw) > 1 and raw[-2] == "~" and raw[-1] in "012":
                 fuzzy, raw = int(raw[-1]), raw[:-2]
+            elif "~" in raw and raw.split("~")[-1].isdigit():
+                # 'term~3' etc: refuse rather than let the analyzer
+                # silently strip the '~' and match a mangled token
+                raise ValueError(
+                    f"unsupported fuzzy distance in {raw!r} "
+                    "(max 2 edits, Lucene's FuzzyQuery bound)"
+                )
             if fuzzy and "*" in raw:
                 raise ValueError(
                     f"fuzzy on a wildcard token {raw!r} is not supported"
@@ -539,14 +546,17 @@ class IndexQueryEngine:
     # ----------------------------------------------------------- execute
 
     def choose_mode(self, spec) -> str:
-        """Stats-driven TAAT/WAND planner (``mode="auto"``): pruning
-        only pays when the top term's weight dominates — a long tail of
-        near-equal common terms leaves every list essential and the
-        pruned path degenerates to TAAT plus bookkeeping. Heuristic on
-        driver-side stats alone (weights = field-boosted idfs, the
-        upper-bound proxy): prune iff the heaviest term outweighs the
-        sum of the rest (then low-weight lists can land non-essential
-        once theta locks in)."""
+        """Stats-driven TAAT/WAND planner: pruning only pays when the
+        top term's weight dominates — a long tail of near-equal common
+        terms leaves every list essential and the pruned path
+        degenerates to TAAT plus bookkeeping. Heuristic on driver-side
+        stats alone (weights = field-boosted idfs, the upper-bound
+        proxy): prune iff the heaviest term outweighs the sum of the
+        rest (then low-weight lists can land non-essential once theta
+        locks in). This is the GLOBAL form; ``topk(mode="auto")``
+        applies the same dominance test inside each shard worker over
+        the terms present in that shard — per-shard stats refine the
+        choice where term distributions are skewed across shards."""
         ws = sorted(spec.term_weights.values(), reverse=True)
         if len(ws) <= 1:
             return "taat"
@@ -566,14 +576,21 @@ class IndexQueryEngine:
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
             return _empty_df(self.spark, _HITS_SCHEMA)
-        if mode == "auto":
-            mode = self.choose_mode(spec)
         postings = self._postings_for(spec)
         b_spec = self.spark.sparkContext.broadcast(spec)
         # boolean clauses need the full candidate doc sets -> exact TAAT
-        use_wand = (
-            mode == "wand" and self.blockmax_safe and not spec.is_boolean
-        )
+        prunable = self.blockmax_safe and not spec.is_boolean
+        # "auto" defers the TAAT/WAND choice to EACH shard worker: the
+        # global plan (choose_mode) can only reason from corpus-wide
+        # idfs, but whether pruning pays is a per-shard question — a
+        # shard missing the dominant rare term has nothing to prune
+        # and should run straight TAAT. The worker applies the same
+        # dominance heuristic restricted to the terms actually present
+        # in its postings group (zero extra storage or I/O: the
+        # group's term set is already in hand). All choices are
+        # rank-identical, so this is purely a latency decision.
+        shard_auto = mode == "auto" and prunable
+        use_wand = mode == "wand" and prunable
 
         def shard_topk(pg: pd.DataFrame) -> pd.DataFrame:
             if not len(pg):
@@ -581,7 +598,20 @@ class IndexQueryEngine:
                     {"doc_id": "int64", "score": "float64"}
                 )
             sp = b_spec.value
-            fn = wand_mod.wand if use_wand else wand_mod.taat
+            if shard_auto:
+                present = set(
+                    pg[["field", "term_id"]]
+                    .drop_duplicates()
+                    .itertuples(index=False, name=None)
+                )
+                ws = sorted(
+                    (w for kk, w in sp.term_weights.items() if kk in present),
+                    reverse=True,
+                )
+                use = bool(ws) and ws[0] > sum(ws[1:])
+            else:
+                use = use_wand
+            fn = wand_mod.wand if use else wand_mod.taat
             ids, scores = fn(pg, sp, k)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 

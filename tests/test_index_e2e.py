@@ -1131,6 +1131,12 @@ def test_fuzzy_expansion_and_ranking(built, spark):
     assert eng.parse_query("tok~0")[0][3] == 0
     with pytest.raises(ValueError, match="fuzzy on a wildcard"):
         eng.parse_query("to*k~1")
+    # distances > 2 refuse loudly (Lucene's FuzzyQuery bound) instead
+    # of letting the analyzer silently strip the '~'
+    with pytest.raises(ValueError, match="unsupported fuzzy distance"):
+        eng.parse_query("tok~3")
+    # a non-numeric '~' tail is NOT fuzzy syntax — passes through
+    assert eng.parse_query("a~b")[0] == ("a~b", "should", "", 0)
 
 
 def test_no_match_results_are_empty_and_cheap(spark, built):
