@@ -101,7 +101,9 @@ def _gc_unreferenced(index_dir: str, meta: dict) -> None:
     live = {meta.get("lsh_dir", "lsh"), meta.get("ivf_dir", "ivf")}
     for name in os.listdir(index_dir):
         if (
-            (name.startswith("lsh") or name.startswith("ivf"))
+            # also sweep pre-versioning temp dirs (.lsh_compact_tmp /
+            # .lsh_old) a crashed older build may have stranded
+            name.lstrip(".").startswith(("lsh", "ivf"))
             and name not in live
             and os.path.isdir(f"{index_dir}/{name}")
         ):
