@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -170,20 +171,32 @@ class IndexQueryEngine:
 
     # ------------------------------------------------------------ plan
 
+    #: field-scope prefix: 'name:rest' — identifier-shaped, validated
+    #: against the index's real fields in make_spec (an unknown name
+    #: falls back to plain-text treatment, see parse_query docstring)
+    _SCOPE_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
     @staticmethod
-    def parse_query(query: str) -> list[tuple[str, str, str, int]]:
+    def parse_query(query: str) -> list[tuple[str, str, str, int, str]]:
         """Lite Lucene-style syntax ->
-        [(raw_token, kind, wildcard, fuzzy_edits)].
+        [(raw_token, kind, wildcard, fuzzy_edits, field_scope)].
 
         kind: 'should' (default), 'must' ('+tok'), 'must_not' ('-tok');
         wildcard: '' (plain term), 'prefix' ('tok*'), 'suffix'
         ('*tok' — leading wildcard, served by the reversed-term
         dictionary), or 'infix' ('fo*ar' — one interior star, raw kept
         whole); fuzzy_edits: 0, or 1/2 for 'tok~1'/'tok~2' (bare
-        'tok~' = 2, Lucene's default). Double/leading+trailing
-        wildcards ('*to*') and fuzzy-on-wildcard are not supported —
-        raise rather than silently mis-match. Parsed BEFORE analysis
-        (the analyzers strip punctuation)."""
+        'tok~' = 2, Lucene's default); field_scope: '' (all queried
+        fields) or the name before ':' in 'lang:py' / 'path:util*'
+        (Solr field scoping — composes with +/-, wildcards and fuzzy).
+        The scope is syntax-recognized here and VALIDATED in make_spec:
+        a name that is not one of the index's fields is treated as
+        plain text (code corpora legitimately contain 'foo:bar'
+        tokens, and the analyzers split them), never a silent
+        zero-match. Double/leading+trailing wildcards ('*to*') and
+        fuzzy-on-wildcard are not supported — raise rather than
+        silently mis-match. Parsed BEFORE analysis (the analyzers
+        strip punctuation)."""
         out = []
         for raw in query.split():
             kind = "should"
@@ -191,6 +204,10 @@ class IndexQueryEngine:
                 kind, raw = "must", raw[1:]
             elif raw.startswith("-"):
                 kind, raw = "must_not", raw[1:]
+            scope = ""
+            m = IndexQueryEngine._SCOPE_RE.match(raw)
+            if m:
+                scope, raw = m.group(1), m.group(2)
             fuzzy = 0
             if raw.endswith("~"):
                 fuzzy, raw = 2, raw[:-1]
@@ -233,7 +250,7 @@ class IndexQueryEngine:
                     )
                 wildcard = "infix"  # raw keeps the star; split at expand
             if raw:
-                out.append((raw, kind, wildcard, fuzzy))
+                out.append((raw, kind, wildcard, fuzzy, scope))
         return out
 
     def analyze_query(self, query: str, fields: list[str] | None = None):
@@ -483,9 +500,26 @@ class IndexQueryEngine:
         scoring_pairs: list[tuple[str, str]] = []
         must_groups: list[list[tuple[str, str]]] = []
         must_not_pairs: list[tuple[str, str]] = []
-        for raw, kind, wildcard, fuzzy in self.parse_query(query):
+        for raw, kind, wildcard, fuzzy, scope in self.parse_query(query):
             group: list[tuple[str, str]] = []
-            for f in fields:
+            if scope and scope in self.fields:
+                # Solr field scoping: this token matches in ONE field
+                # (boost/idf/analyzer of that field apply as usual)
+                tok_fields = [scope]
+            elif scope and (wildcard or fuzzy):
+                raise ValueError(
+                    f"unknown field {scope!r} in scoped "
+                    f"wildcard/fuzzy token {scope}:{raw}"
+                )
+            elif scope:
+                # not a real field: the token was plain text containing
+                # a colon (common in code) — restore and let the
+                # analyzer split it, exactly as before field scoping
+                raw = f"{scope}:{raw}"
+                tok_fields = fields
+            else:
+                tok_fields = fields
+            for f in tok_fields:
                 if wildcard == "infix":
                     pre_raw, post_raw = raw.split("*", 1)
                     pre_t = analyze.tokenize_query(pre_raw, self.fields[f])

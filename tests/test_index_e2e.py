@@ -1136,7 +1136,43 @@ def test_fuzzy_expansion_and_ranking(built, spark):
     with pytest.raises(ValueError, match="unsupported fuzzy distance"):
         eng.parse_query("tok~3")
     # a non-numeric '~' tail is NOT fuzzy syntax — passes through
-    assert eng.parse_query("a~b")[0] == ("a~b", "should", "", 0)
+    assert eng.parse_query("a~b")[0] == ("a~b", "should", "", 0, "")
+
+
+def test_field_scoped_queries(built, spark):
+    """Solr field scoping (field:token): the token matches in ONE
+    field with that field's analyzer/boost/idf; composes with +/-,
+    wildcards and fuzzy. An unknown scope name is plain text (code
+    corpora contain 'foo:bar' tokens) — never a silent zero-match —
+    except scoped wildcard/fuzzy, which raise (clear intent, unknown
+    field)."""
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    # scoped token == restricting that token's fields explicitly
+    got = eng.topk("lang:py", k=8, mode="taat").collect()
+    explicit = eng.topk("py", k=8, fields=["lang"], mode="taat").collect()
+    assert got == explicit and got
+    # mixed: scoped lang term + unscoped content term scores BOTH
+    # (the unscoped term still searches all fields)
+    mixed = eng.topk("lang:py if", k=8, mode="taat").collect()
+    assert mixed
+    spec = eng.make_spec("lang:py if")
+    scoped_only = eng.make_spec("py", fields=["lang"])
+    assert set(scoped_only.term_weights) <= set(spec.term_weights)
+    # composes with must + wildcard: '+path:mod*' scopes the prefix
+    # expansion to path-field terms only
+    spec_w = eng.make_spec("+path:mod*")
+    assert spec_w.term_weights
+    assert all(f == "path" for f, _t in spec_w.term_weights)
+    # unknown scope falls back to analyzer-split plain text
+    a = eng.topk("foo:if", k=8, mode="taat").collect()
+    b = eng.topk("foo if", k=8, mode="taat").collect()
+    assert a == b
+    # unknown scope on a wildcard/fuzzy token refuses loudly
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.make_spec("foo:ut*")
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.make_spec("foo:util~1")
 
 
 def test_no_match_results_are_empty_and_cheap(spark, built):
