@@ -414,3 +414,39 @@ def test_rrf_fuse_ranks_and_missing_leg_convention(spark):
     got2 = fusion.rrf_fuse([(tied, "score")], k=2).collect()
     assert [r["doc_id"] for r in got2] == [5, 7]
     assert got2[0]["rrf"] == round(1 / 61, 6)
+
+
+def test_dl_distance_matches_duckdb_damerau():
+    """query._dl_distance is the oracle's metric BY CONSTRUCTION:
+    property-pinned to DuckDB's damerau_levenshtein (unrestricted
+    Damerau-Levenshtein — NOT OSA, which diverges on cases like
+    'ca'->'abc'), plus the capped early-exit contract."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gxdindexer_spark.operators.query import _dl_distance
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abcde", max_size=9),
+        st.text(alphabet="abcde", max_size=9),
+    )
+    def check(a, b):
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = _dl_distance(a, b)
+        assert got == want
+        for cap in (1, 2):
+            capped = _dl_distance(a, b, cap)
+            if want <= cap:
+                assert capped == want
+            else:
+                assert capped > cap
+
+    check()
+    # the OSA-divergent canonical case stays pinned
+    assert _dl_distance("ca", "abc") == 2
