@@ -51,7 +51,8 @@ QUERIES = [
     "query batch sort group table",
     "zzznotaterm spark",
 ]
-WILDCARDS = ["st* join", "*ble join", "s* t*"]
+WILDCARDS = ["st* join", "*ble join", "s* t*", "t*e join"]
+FUZZIES = ["sow~2 join", "tabl~1 merge"]
 PHRASES = [("table part", 0), ("table part", 2), ("spark join", 1)]
 
 
@@ -110,6 +111,9 @@ def main() -> int:
         for w in WILDCARDS:
             probe(f"wild:{w}", lambda w=w: eng.topk(
                 w, k=20, mode="taat").collect())
+        for fz in FUZZIES:
+            probe(f"fuzzy:{fz}", lambda fz=fz: eng.topk(
+                fz, k=20, mode="taat").collect())
         for ph, slop in PHRASES:
             probe(f"phrase{slop}:{ph}", lambda ph=ph, slop=slop:
                   peng.phrase_topk(ph, k=20, slop=slop).collect())
