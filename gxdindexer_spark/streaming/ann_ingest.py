@@ -78,20 +78,13 @@ def ann_ingest_stream(
         # micro-batch), whose combined fingerprint is new — the text
         # index is immune because its dedup unit is the content-stable
         # shard, so the ANN stream dedups at the stable unit it has:
-        # vec_id. One id-only column-pruned anti-join per batch; rows
-        # already indexed drop, a fully-redelivered batch drops to
-        # empty and skips.
-        import json as _json
-
-        with open(f"{index_dir}/meta.json") as fh:
-            meta = _json.load(fh)
-        existing = ann._read_with_deltas(
-            batch_df.sparkSession, index_dir, meta, "lsh"
-        ).select("vec_id")
-        fresh = batch_df.join(existing, "vec_id", "left_anti")
-        if fresh.isEmpty():
-            return
-        meta = ann.append_ann_index(fresh, index_dir)
+        # vec_id. ``dedup_ids=True`` runs that id anti-join INSIDE the
+        # append's writer lock (a concurrent writer can't stale the
+        # snapshot it checks) and prunes the existing side to the
+        # batch's own LSH bucket partitions, so the guard reads
+        # O(collision buckets), not the whole index
+        # (ann._existing_ids_for_buckets).
+        meta = ann.append_ann_index(batch_df, index_dir, dedup_ids=True)
         if drift_log is not None:
             drift_log.append(ann.ivf_drift(meta))
         if compact_every and len(

@@ -1082,6 +1082,12 @@ def test_infix_wildcard_expansion_and_ranking(built, spark):
     ]
     with pytest.raises(ValueError, match="multiple wildcards"):
         eng.parse_query("a*b*c")
+    # edge star + interior star must raise too, not silently expand a
+    # mangled base via the prefix/suffix branch (ADVICE r4 low)
+    with pytest.raises(ValueError, match="multiple wildcards"):
+        eng.parse_query("foo*bar*")
+    with pytest.raises(ValueError, match="multiple wildcards"):
+        eng.parse_query("*foo*bar")
 
 
 def test_fuzzy_expansion_and_ranking(built, spark):
