@@ -802,7 +802,40 @@ class IndexBuilder:
                 .write.mode("overwrite")
                 .parquet(f"{index_dir}/dictionary_rev")
             )
-            fmark("dict+rev writes")
+            # character-3-gram -> term artifact: sub-linear fuzzy
+            # candidate generation (VERDICT r4 #6). expand_fuzzy's
+            # uncached path previously scanned the full same-field
+            # length band per fuzzy token; with this artifact the scan
+            # is a gram IN-list (<= len(term)-2 grams) + length band,
+            # range-partitioned AND sorted by (field, gram) so both
+            # file- and row-group-level min/max stats prune the
+            # lookup. Derived from the SAME checkpointed vocab as
+            # dictionary/dictionary_rev each finalize, so it can never
+            # go stale vs the dictionary (incremental appends re-derive
+            # it too — O(vocab), the same cost class as the dictionary
+            # swap itself). ~(avg term len - 2) x dictionary rows of
+            # (field, gram, term, df) — small next to postings.
+            (
+                dict_df.filter(F.length("term") >= 3)
+                .select(
+                    "field",
+                    "term",
+                    "df",
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(
+                                "transform(sequence(1, length(term) - 2),"
+                                " i -> substring(term, i, 3))"
+                            )
+                        )
+                    ).alias("gram"),
+                )
+                .repartitionByRange(F.col("field"), F.col("gram"))
+                .sortWithinPartitions("field", "gram")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/dictionary_ngrams")
+            )
+            fmark("dict+rev+ngram writes")
         finally:
             dict_df.unpersist()  # releases the checkpoint blocks
         if field_totals is not None:

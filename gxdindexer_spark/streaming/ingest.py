@@ -28,6 +28,9 @@ falls back to exact TAAT while stored block-max bounds are stale).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
@@ -44,6 +47,21 @@ INGEST_DOCS = T.StructType(
 )
 
 
+def _read_ingest_state(index_dir: str) -> dict:
+    path = f"{index_dir}/.ingest_state.json"
+    if not os.path.isfile(path):
+        return {"appends_since_compact": 0}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_ingest_state(index_dir: str, state: dict) -> None:
+    tmp = f"{index_dir}/.ingest_state.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, f"{index_dir}/.ingest_state.json")
+
+
 def ingest_stream(
     spark: SparkSession,
     docs_dir: str,
@@ -52,6 +70,8 @@ def ingest_stream(
     checkpoint_dir: str,
     schema: T.StructType | None = None,
     available_now: bool = True,
+    compact_every: int = 0,
+    compact_log: list | None = None,
 ):
     """Start (and return) the streaming query that maintains
     ``index_dir`` from parquet files arriving in ``docs_dir``.
@@ -59,6 +79,20 @@ def ingest_stream(
     ``available_now=True`` drains everything currently available and
     stops — the incremental-batch trigger (run it from cron and it
     only pays for NEW files); ``False`` runs continuously.
+
+    ``compact_every=N``: run ``compact_index`` after every N
+    EFFECTIVE append batches (batches that actually rebuilt shards —
+    fingerprint-replay no-ops don't count), mirroring the ANN
+    stream's policy (VERDICT r4 #7): a long-running stream otherwise
+    accumulates per-shard postings-file fragmentation that only a
+    hand-run compaction fixes (the 1M bench measured 2048 -> 16 files
+    = query p50 1.8 -> 0.98s). The counter is PERSISTED
+    (``.ingest_state.json`` next to the artifacts, atomic replace) —
+    not process memory — so the policy survives restarts and
+    cron-style one-batch drains; the compaction itself holds the
+    index writer lock and is crash-safe (``_recover_compaction``).
+    ``compact_log`` (optional list) receives each compaction's
+    metrics dict — the caller's observability hook.
     """
     schema = schema or INGEST_DOCS
     stream = spark.readStream.schema(schema).parquet(docs_dir)
@@ -66,7 +100,21 @@ def ingest_stream(
     def handle(batch_df, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        builder.build(batch_df, index_dir, resume=True, append=True)
+        metrics = builder.build(batch_df, index_dir, resume=True, append=True)
+        if not compact_every or not metrics.get("shards_built"):
+            return
+        state = _read_ingest_state(index_dir)
+        state["appends_since_compact"] = (
+            int(state.get("appends_since_compact", 0)) + 1
+        )
+        if state["appends_since_compact"] >= compact_every:
+            from gxdindexer_spark.operators.index_build import compact_index
+
+            result = compact_index(batch_df.sparkSession, index_dir)
+            if compact_log is not None:
+                compact_log.append(result)
+            state["appends_since_compact"] = 0
+        _write_ingest_state(index_dir, state)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -136,6 +136,44 @@ def run_builds(
     return results
 
 
+def ann_maintenance(
+    index_dir: str,
+    emb_provider: Callable[[SparkSession], "object"],
+    kmeans_iters: int = 5,
+):
+    """Build-callable factory: scheduled IVF-drift maintenance
+    (VERDICT r4 #8 — ``ann.retrain_if_drifted`` existed but nothing
+    ran it unattended). Register the returned callable as a
+    ``run_builds`` entry and the orchestrator's cron-style run reads
+    the persisted drift state (meta.json per-cell occupancy), rebuilds
+    with freshly TRAINED centroids only when ``ivf_drift`` trips, and
+    records the decision + wall time in ``timings.json`` like any
+    other build — no caller watching required.
+
+    ``emb_provider(spark)`` must return the FULL current corpus
+    (base + appended vectors); ``retrain_if_drifted`` validates its
+    count against the locked meta and aborts if an append slipped in
+    after the snapshot (the orchestrator's next scheduled run then
+    retries with a fresh snapshot).
+    """
+
+    def run(spark: SparkSession) -> dict:
+        from gxdindexer_spark.operators import ann
+
+        meta, retrained = ann.retrain_if_drifted(
+            emb_provider(spark), index_dir, kmeans_iters=kmeans_iters
+        )
+        drift = ann.ivf_drift(meta)
+        return {
+            "retrained": retrained,
+            "drifted_now": drift["drifted"],
+            "appended_frac": round(drift["appended_frac"], 4),
+            "imbalance_now": round(drift["imbalance_now"], 4),
+        }
+
+    return run
+
+
 def main(argv: list[str] | None = None) -> int:
     from gxdindexer_spark.operators.index_build import IndexBuilder
     from gxdindexer_spark.session import get_spark

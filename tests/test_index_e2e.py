@@ -873,6 +873,45 @@ def test_incremental_finalize_matches_full(built, spark, tmpdir_idx):
     assert len(got) > 0
 
 
+def test_sorted_matches_pages_by_stored_field(built, spark):
+    """sorted_matches (VERDICT r4 #3): the match set ordered by a
+    STORED doc-store column with offset/limit paging — the reference's
+    R_BY_* serving contract (GxdResultIndexer.java:1234-1239). Checked
+    against a python oracle over the full match set; per-shard workers
+    only emit their local top-(offset+k)."""
+    idx, _docs, pdocs, _metrics = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    match = sorted(
+        r["doc_id"] for r in eng.matching_docs(q).collect()
+    )
+    assert match
+    path_of = dict(zip(pdocs["doc_id"], pdocs["path"]))
+    expect_all = sorted(
+        ((path_of[d], d) for d in match),
+        key=lambda t: (t[0], t[1]),
+    )
+    # desc by key, doc_id STILL asc within ties: stable double sort
+    expect_desc = sorted(
+        sorted(expect_all, key=lambda t: t[1]),
+        key=lambda t: t[0],
+        reverse=True,
+    )
+    for offset, k, asc in ((0, 7, True), (5, 10, True), (3, 4, False)):
+        ordered = expect_all if asc else expect_desc
+        got = eng.sorted_matches(
+            q, by="path", k=k, offset=offset, ascending=asc
+        ).collect()
+        want = ordered[offset:offset + k]
+        assert [(r["path"], r["doc_id"]) for r in got] == want
+    # requested extra columns hydrate from the same shard-local read
+    got = eng.sorted_matches(q, by="path", k=3, columns=("lang",)).collect()
+    lang_of = dict(zip(pdocs["doc_id"], pdocs["lang"]))
+    assert all(r["lang"] == lang_of[r["doc_id"]] for r in got)
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.sorted_matches(q, by="no_such_col")
+
+
 def test_facet_counts_stored_shard_local(built, spark):
     """facet_counts_stored: same counts as the join-based path and the
     python match-set oracle, with exactly ONE Spark file scan (the
@@ -1143,6 +1182,47 @@ def test_fuzzy_expansion_and_ranking(built, spark):
         eng.parse_query("tok~3")
     # a non-numeric '~' tail is NOT fuzzy syntax — passes through
     assert eng.parse_query("a~b")[0] == ("a~b", "should", "", 0, "")
+
+
+def test_fuzzy_ngram_tier_matches_band_tier(built, spark):
+    """The dictionary_ngrams candidate prune (VERDICT r4 #6) is a pure
+    superset filter: for a term long enough to clear the q-gram
+    threshold, the gram tier, the length-band tier and the cached path
+    produce the IDENTICAL expansion set; the artifact exists and its
+    layout serves a gram IN-list."""
+    from gxdindexer_spark.operators.query import _dl_distance
+
+    idx, _docs, _pdocs, _m = built
+    assert os.path.isdir(f"{idx}/dictionary_ngrams")
+    eng = IndexQueryEngine(spark, idx)
+    vocab = {t for (f, t) in eng._dict_cache if f == "content"}
+    # longest terms clear min_shared >= 1 even at d=2 (len >= 11)
+    long_terms = sorted(
+        (t for t in vocab if len(t) >= 11), key=lambda t: (-len(t), t)
+    )
+    assert long_terms, "fixture vocab has no long terms"
+    seed = long_terms[0]
+    typo = seed[1] + seed[0] + seed[2:-1]  # transpose + drop last char
+    eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+    assert eng2._dict_ngrams is not None
+    for d in (1, 2):
+        truth = sorted(
+            t for t in vocab if _dl_distance(typo, t, d) <= d
+        )
+        qgrams = {typo[i:i + 3] for i in range(len(typo) - 2)}
+        assert len(qgrams) - 4 * d >= 1  # the gram tier engages
+        got_gram = eng2.expand_fuzzy(
+            "content", typo, d, max_expansions=None
+        )
+        # force the band tier and compare
+        saved, eng2._dict_ngrams = eng2._dict_ngrams, None
+        got_band = eng2.expand_fuzzy(
+            "content", typo, d, max_expansions=None
+        )
+        eng2._dict_ngrams = saved
+        assert got_gram == got_band == truth
+        if d == 1:
+            assert seed in truth or _dl_distance(typo, seed, 2) == 2
 
 
 def test_field_scoped_queries(built, spark):

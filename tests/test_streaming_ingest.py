@@ -93,3 +93,76 @@ def test_streaming_ingest_matches_batch_build(spark, corpus_docs, tmp_path):
     drain()
     assert read_ledger(idx) == snap_before
     assert os.path.isfile(f"{idx}/manifest.json")
+
+
+def test_ingest_compact_every_policy(spark, corpus_docs, tmp_path):
+    """compact_every=N (VERDICT r4 #7): after N EFFECTIVE append
+    batches the stream runs compact_index exactly once (persisted
+    counter in .ingest_state.json — survives restarts, replay no-ops
+    don't count), and query results are unchanged across the
+    compaction."""
+    docs_dir = str(tmp_path / "incoming")
+    idx = str(tmp_path / "cidx")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["doc_id", "content", "content_sha256", "shard"]
+    compact_log: list = []
+
+    def drain():
+        q = ingest.ingest_stream(
+            spark, docs_dir, idx, _builder(), ckpt,
+            schema=ingest.INGEST_DOCS,
+            compact_every=2, compact_log=compact_log,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # batch 1 (effective): counter -> 1, no compaction yet
+    corpus_docs.filter(F.col("shard") < 2).select(*cols).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    drain()
+    assert compact_log == []
+    import json as _json
+
+    state = _json.load(open(f"{idx}/.ingest_state.json"))
+    assert state["appends_since_compact"] == 1
+
+    # batch 2 (effective): threshold reached -> exactly one compaction,
+    # counter resets
+    corpus_docs.filter(F.col("shard") >= 2).select(*cols).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q_before = None  # results compared after compaction below
+    drain()
+    assert len(compact_log) == 1
+    assert _json.load(
+        open(f"{idx}/.ingest_state.json")
+    )["appends_since_compact"] == 0
+    # compaction really coalesced: postings now one file per shard
+    n_files = sum(
+        1
+        for _root, _d, files in os.walk(f"{idx}/postings")
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files == len(read_ledger(idx))
+
+    # results equal a one-shot batch build (compaction is content-
+    # preserving)
+    ref = str(tmp_path / "ref")
+    _builder().build(corpus_docs.select(*cols), ref, resume=False)
+    q = "getIndexList if return"
+    r1 = IndexQueryEngine(spark, idx).topk(q, 10).collect()
+    r2 = IndexQueryEngine(spark, ref).topk(q, 10).collect()
+    assert [r["doc_id"] for r in r1] == [r["doc_id"] for r in r2]
+
+    # replay (wiped checkpoint): fingerprint no-ops must NOT advance
+    # the counter or trigger another compaction
+    import shutil
+
+    shutil.rmtree(ckpt)
+    drain()
+    assert len(compact_log) == 1
+    assert _json.load(
+        open(f"{idx}/.ingest_state.json")
+    )["appends_since_compact"] == 0
