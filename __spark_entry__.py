@@ -919,12 +919,12 @@ def _ensure_ann(spark, sf_dir):
     cached in /tmp (resume via input fingerprint in meta.json). Built
     with the ``label`` attribute stored IN the index rows so filtered
     ANN (ann_filtered_topk) pushes its predicate into the pruned
-    bucket scan; the dir tag carries 'a1' because adding stored attrs
+    bucket scan; the dir tag carries 'a2' because adding stored attrs
     changes the artifact layout."""
     from gxdindexer_spark.operators import ann
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = f"/tmp/gxdann_{tag}_p{ANN_PLANES_N}c{ANN_CENTROIDS_N}a1"
+    d = f"/tmp/gxdann_{tag}_p{ANN_PLANES_N}c{ANN_CENTROIDS_N}a2"
     ann.build_ann_index(
         _t(spark, sf_dir, "embeddings"),
         d,

@@ -201,6 +201,16 @@ def main() -> int:
            lambda: eng.topk("+table -merge spark", k=20).collect())
     _timed(timings, "match_count_wildcard",
            lambda: eng.count_matches("st* join").collect())
+    # sort-by-stored-field serving (R_BY_* contract): offset paging
+    # and cursor (search_after) paging
+    _timed(timings, "bm25_sorted_by_field",
+           lambda: eng.sorted_matches(
+               BM25_QUERIES[0], by="n_chars", k=15, offset=5,
+               ascending=False).collect())
+    _timed(timings, "bm25_sorted_cursor",
+           lambda: eng.sorted_matches(
+               BM25_QUERIES[0], by="n_chars", k=15,
+               after=(300, 0), ascending=False).collect())
     # positional build + exact phrase query
     pidx = idx_dir + "_pos"
     shutil.rmtree(pidx, ignore_errors=True)
@@ -218,6 +228,10 @@ def main() -> int:
            lambda: peng.phrase_topk("table part", k=15).collect())
     _timed(timings, "bm25_phrase_sloppy",
            lambda: peng.phrase_topk("table part", k=15, slop=2).collect())
+    # highlighting (Solr hl analog) off the positional index
+    _timed(timings, "highlight_topk",
+           lambda: peng.highlight_topk(
+               BM25_QUERIES[0], k=15, window=16, mode="taat").collect())
     # facet counts over the match set (the reference's Hoxd*-has-image
     # pattern: group the match set by a doc attribute)
     facets = entrymod._t(spark, SF_DIR, "documents").select(
@@ -244,7 +258,8 @@ def main() -> int:
     ann_dir = f"/tmp/gxdann_bench_{os.path.basename(os.path.normpath(SF_DIR))}"
     shutil.rmtree(ann_dir, ignore_errors=True)
     t0 = time.monotonic()
-    ann.build_ann_index(emb, ann_dir, n_planes=6, n_centroids=8, resume=False)
+    ann.build_ann_index(emb, ann_dir, n_planes=6, n_centroids=8,
+                        resume=False, attr_cols=("label",))
     timings["ann_index_build"] = round(time.monotonic() - t0, 3)
     aidx = ann.AnnIndex(spark, ann_dir)
     qvec = entrymod._query_vec(spark, SF_DIR)
@@ -252,6 +267,10 @@ def main() -> int:
            lambda: aidx.lsh_topk(qvec, k=10, probes=3).collect())
     _timed(timings, "ann_ivf_topk",
            lambda: aidx.ivf_topk(qvec, k=10, nprobe=3).collect())
+    # filtered ANN: stored-attr predicate on the same pruned scan
+    _timed(timings, "ann_filtered_topk",
+           lambda: aidx.lsh_topk(
+               qvec, k=10, probes=3, where="label < 5").collect())
     # embedding near-dup: BOTH registered entries now run the banded
     # bounded-fan-in plan (id-only candidates, then hydrate); the
     # params mirror the entry wiring (lsh: 2x3-bit, banded: 3x2-bit)

@@ -274,7 +274,7 @@ def _build_ann_locked(
     else:
         centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
     (
-        ivf_assign(emb, centroids, id_col, vec_col)
+        ivf_assign(emb, centroids, id_col, vec_col, attr_cols)
         .transform(lambda d: _salted(d, "ivf_bucket"))
         .write.mode("overwrite")
         .partitionBy("ivf_bucket")
@@ -452,10 +452,12 @@ def append_ann_index(
             delta_lsh.select(
                 F.col("vec_id").alias(id_col),
                 F.col("embedding").alias(vec_col),
+                *[F.col(c) for c in attr_cols],
             ),
             centroids,
             id_col,
             vec_col,
+            attr_cols,
         )
         cell_counts = {
             int(r["ivf_bucket"]): int(r["n"])
@@ -847,10 +849,17 @@ class AnnIndex:
         return self._ivf.filter(F.col("ivf_bucket").isin(probes))
 
     def ivf_topk(
-        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        where=None,
     ) -> DataFrame:
         """IVF ANN top-k: exact cosine inside the probed coarse cells.
-        -> (vec_id, cos) desc, id asc."""
-        return cosine_topk(
-            self.ivf_candidates(query_vec, nprobe), query_vec, k
-        )
+        -> (vec_id, cos) desc, id asc. ``where`` filters on stored
+        attribute columns exactly like ``lsh_topk(where=...)`` (both
+        artifacts carry ``attr_cols``)."""
+        cands = self.ivf_candidates(query_vec, nprobe)
+        if where is not None:
+            cands = cands.filter(where)
+        return cosine_topk(cands, query_vec, k)

@@ -931,6 +931,7 @@ class IndexQueryEngine:
         ascending: bool = True,
         fields: list[str] | None = None,
         columns: tuple[str, ...] = (),
+        after: tuple | None = None,
     ) -> DataFrame:
         """Match set ordered by a STORED doc-store column, paged — the
         reference's actual serving contract: every document carries
@@ -950,12 +951,23 @@ class IndexQueryEngine:
         a match-set-sized shuffle; the global order-by + offset/limit
         then runs over that bounded set. ``offset`` deep-paging cost
         grows linearly as in any distributed top-k (Solr's own
-        deep-paging caveat); use cursors (filter by last-seen key) for
-        crawl-style paging.
+        deep-paging caveat) — for crawl-style paging pass
+        ``after=(last_by_value, last_doc_id)`` instead (Solr
+        cursorMark / ES search_after): the k rows STRICTLY after the
+        cursor in the sort order, so every page costs the same
+        shards x k gather no matter how deep, because the cursor
+        predicate filters inside each shard worker before its local
+        top-k. ``after`` and ``offset`` are mutually exclusive.
 
         -> (doc_id, <by>, *columns), ordered by (<by> asc/desc,
-        doc_id asc), rows offset..offset+k.
+        doc_id asc), rows offset..offset+k (or the k rows after the
+        cursor).
         """
+        if after is not None and offset:
+            raise ValueError(
+                "pass either offset= (shallow paging) or after= "
+                "(cursor paging), not both"
+            )
         spec = self.make_spec(query, fields)
         store_schema = {
             f.name: f.dataType for f in self._doc_store_schema().fields
@@ -991,6 +1003,17 @@ class IndexQueryEngine:
                 f"{idx_dir}/docs/shard={shard}", columns=cols
             ).to_pandas()
             hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
+            if after is not None and len(hit):
+                av, ad = after
+                if ascending:
+                    keep = (hit[by] > av) | (
+                        (hit[by] == av) & (hit["doc_id"] > ad)
+                    )
+                else:
+                    keep = (hit[by] < av) | (
+                        (hit[by] == av) & (hit["doc_id"] > ad)
+                    )
+                hit = hit[keep]
             if not len(hit):
                 return empty
             return hit.sort_values(

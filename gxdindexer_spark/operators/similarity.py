@@ -180,11 +180,14 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid (cosine) via one numpy matmul per Arrow batch —
-    -> (vec_id, embedding, ivf_bucket). At 100 TB the output is written
-    partitioned by ivf_bucket so queries scan only probed buckets."""
+    -> (vec_id, embedding[, *attr_cols], ivf_bucket). At 100 TB the
+    output is written partitioned by ivf_bucket so queries scan only
+    probed buckets; ``attr_cols`` ride through untouched (stored-attr
+    filtered ANN)."""
     import numpy as np
     from collections.abc import Iterator
     from pyspark.sql import types as T
@@ -192,12 +195,14 @@ def ivf_assign(
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
+    in_types = {f.name: f.dataType for f in emb.schema.fields}
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType(), False),
             T.StructField("embedding", T.ArrayType(T.FloatType()), True),
-            T.StructField("ivf_bucket", T.IntegerType(), False),
         ]
+        + [T.StructField(c, in_types[c], True) for c in attr_cols]
+        + [T.StructField("ivf_bucket", T.IntegerType(), False)]
     )
 
     def run(batches: Iterator) -> Iterator:
@@ -213,16 +218,19 @@ def ivf_assign(
                 np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
             bucket = np.argmax(Vn @ Cn.T, axis=1).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "embedding": pdf[vec_col],
-                    "ivf_bucket": bucket,
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "embedding": pdf[vec_col],
+            }
+            for c in attr_cols:
+                out[c] = pdf[c]
+            out["ivf_bucket"] = bucket
+            yield pd.DataFrame(out)
 
     return emb.select(
-        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        *[F.col(c) for c in attr_cols],
     ).mapInPandas(run, schema=out_schema)
 
 

@@ -772,6 +772,11 @@ def test_filtered_ann_pushes_predicate_into_pruned_scan(
         ln for ln in buf.getvalue().splitlines() if "PushedFilters" in ln
     ]
     assert any("label" in ln and "LessThan" in ln for ln in pushed)
+    # IVF artifact carries the attrs too: same where= contract
+    got_ivf = idx.ivf_topk(qvec, k=10, nprobe=3, where="label < 5").collect()
+    cand_ivf = idx.ivf_candidates(qvec, nprobe=3).filter(F.col("label") < 5)
+    assert got_ivf == similarity.cosine_topk(cand_ivf, qvec, k=10).collect()
+    assert got_ivf
     # appends must carry the stored attr columns
     with pytest.raises(ValueError, match="attr columns"):
         ann.append_ann_index(

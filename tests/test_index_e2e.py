@@ -910,6 +910,21 @@ def test_sorted_matches_pages_by_stored_field(built, spark):
     assert all(r["lang"] == lang_of[r["doc_id"]] for r in got)
     with pytest.raises(ValueError, match="not in the doc store"):
         eng.sorted_matches(q, by="no_such_col")
+    # cursor paging (search_after): walking pages by cursor visits the
+    # FULL ordered match set exactly once, each page a constant-cost
+    # shards x k gather (no offset scan)
+    pages, cursor = [], None
+    while True:
+        rows = eng.sorted_matches(
+            q, by="path", k=7, after=cursor
+        ).collect()
+        if not rows:
+            break
+        pages.extend((r["path"], r["doc_id"]) for r in rows)
+        cursor = (rows[-1]["path"], rows[-1]["doc_id"])
+    assert pages == expect_all
+    with pytest.raises(ValueError, match="not both"):
+        eng.sorted_matches(q, by="path", k=3, offset=2, after=("x", 1))
 
 
 def test_facet_counts_stored_shard_local(built, spark):
