@@ -92,24 +92,27 @@ def _wait_for_idle_host() -> tuple[float, float]:
     return start, load
 
 
+def _probe_once(spark) -> float:
+    t0 = time.monotonic()
+    (
+        spark.range(64_000_000)
+        .select("id", (F.col("id") % 9973).alias("k"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .agg(F.sum("s"))
+        .collect()
+    )
+    return time.monotonic() - t0
+
+
 def _reference_probe(spark, reps: int = 3) -> float:
     """Min-of-``reps`` wall time of the pinned calibration job (see
     PROBE_IDLE_REF). Fixed input, no I/O, saturates every core — its
-    wall time moves ONLY with host contention."""
-    best = None
-    for _ in range(reps):
-        t0 = time.monotonic()
-        (
-            spark.range(64_000_000)
-            .select("id", (F.col("id") % 9973).alias("k"))
-            .groupBy("k")
-            .agg(F.sum("id").alias("s"))
-            .agg(F.sum("s"))
-            .collect()
-        )
-        dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+    wall time moves ONLY with host contention. One UNTIMED rep first:
+    the probe's own shuffle/codegen warmup must not read as
+    contention (the session-level warmup runs a different plan)."""
+    _probe_once(spark)
+    return min(_probe_once(spark) for _ in range(reps))
 
 
 def _timed(timings: dict, name: str, fn, reps: int = 2) -> None:
