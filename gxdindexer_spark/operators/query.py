@@ -1137,13 +1137,25 @@ class IndexQueryEngine:
         positional index (no stored-text scan): for each hit, the
         ``window``-token span containing the most query-term
         occurrences (earliest on ties).
-        -> (doc_id, score, start_pos, end_pos, n_hits)."""
+        -> (doc_id, score, start_pos, end_pos, n_hits).
+
+        ONE scatter-gather (r5: previously top-k collected first, then
+        a second postings pass computed windows — two sequential jobs):
+        each shard worker scores its LOCAL top-k (rank-identical to
+        ``topk``) and computes the windows for those k candidates in
+        the same pass — the positional postings are already in hand,
+        and speculative windows for shards x k candidates cost
+        microseconds next to the scan they piggyback on; the global
+        orderBy/limit then keeps the true top-k. Ranking is exactly
+        ``topk``'s; a hit none of whose ANALYZED query tokens occurs
+        literally (possible only for pure wildcard/fuzzy rewrites
+        whose base token is not itself a dictionary term) has no span
+        and is omitted, as before."""
         if not self.manifest.get("with_positions"):
             raise ValueError(
                 "index was built without positions "
                 "(IndexBuilder(with_positions=True))"
             )
-        hits = self.topk(query, k, fields=[field], mode=mode).collect()
         out_schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType(), False),
@@ -1153,53 +1165,61 @@ class IndexQueryEngine:
                 T.StructField("n_hits", T.IntegerType(), False),
             ]
         )
-        if not hits:
+        spec = self.make_spec(query, fields=[field])
+        if not spec.term_weights:
             return _empty_df(self.spark, out_schema)
         terms = analyze.tokenize_query(query, self.fields[field])
         tids = [self._tid(t) for t in terms]
-        ids = np.array([int(r["doc_id"]) for r in hits], dtype=np.int64)
-        scores = {int(r["doc_id"]): float(r["score"]) for r in hits}
-        dps = int(self.manifest.get("docs_per_shard") or 1)
-        shards = sorted({int(i) // dps for i in ids})
-        postings = self._postings.filter(
-            F.col("term_id").isin(sorted(set(tids)))
-            & (F.col("field") == field)
-            & F.col("shard").isin(shards)
-        )
-        b_ids = self.spark.sparkContext.broadcast(ids)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        prunable = self.blockmax_safe and not spec.is_boolean
+        shard_auto = mode == "auto" and prunable
+        use_wand = mode == "wand" and prunable
+        empty_cast = {
+            "doc_id": "int64",
+            "score": "float64",
+            "start_pos": "int32",
+            "end_pos": "int32",
+            "n_hits": "int32",
+        }
 
         def shard_hl(pg: pd.DataFrame) -> pd.DataFrame:
-            rows = wand_mod.best_window_shard(
-                pg, tids, field, b_ids.value, window
-            )
-            return pd.DataFrame(
+            empty = pd.DataFrame(
+                {c: [] for c in empty_cast}
+            ).astype(empty_cast)
+            if not len(pg):
+                return empty
+            sp = b_spec.value
+            if shard_auto:
+                present = set(
+                    pg[["field", "term_id"]]
+                    .drop_duplicates()
+                    .itertuples(index=False, name=None)
+                )
+                ws = sorted(
+                    (w for kk, w in sp.term_weights.items() if kk in present),
+                    reverse=True,
+                )
+                use = bool(ws) and ws[0] > sum(ws[1:])
+            else:
+                use = use_wand
+            fn = wand_mod.wand if use else wand_mod.taat
+            ids, scores = fn(pg, sp, k)
+            if not ids.size:
+                return empty
+            rows = wand_mod.best_window_shard(pg, tids, field, ids, window)
+            if not rows:
+                return empty
+            sc = dict(zip(ids.tolist(), scores.tolist()))
+            df = pd.DataFrame(
                 rows, columns=["doc_id", "start_pos", "end_pos", "n_hits"]
-            ).astype(
-                {
-                    "doc_id": "int64",
-                    "start_pos": "int32",
-                    "end_pos": "int32",
-                    "n_hits": "int32",
-                }
             )
+            df["score"] = df["doc_id"].map(sc)
+            return df[list(empty_cast)].astype(empty_cast)
 
-        hl_schema = T.StructType(
-            [f for f in out_schema.fields if f.name != "score"]
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_hl, schema=out_schema
         )
-        hl = postings.groupBy("shard").applyInPandas(
-            shard_hl, schema=hl_schema
-        )
-        sdf = self.spark.createDataFrame(
-            pd.DataFrame(
-                [(d, s) for d, s in scores.items()],
-                columns=["doc_id", "score"],
-            )
-        )
-        return (
-            hl.join(F.broadcast(sdf), "doc_id")
-            .select("doc_id", "score", "start_pos", "end_pos", "n_hits")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def count_matches(
         self, query: str, fields: list[str] | None = None

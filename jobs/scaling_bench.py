@@ -97,7 +97,10 @@ def main() -> int:
     p.add_argument("--gate-timeout", type=float, default=900.0)
     p.add_argument("--out", default="BENCH/BASELINE.md")
     p.add_argument("--json-out", default="BENCH/scaling.json")
-    p.add_argument("--single", help="internal: run ONE level, print JSON")
+    p.add_argument(
+        "--single",
+        help="subprocess mode: run ONE parallelism level, print JSON",
+    )
     args = p.parse_args()
 
     if args.single:
