@@ -821,9 +821,35 @@ class IndexQueryEngine:
         safe = self.blockmax_safe
 
         def shard_topk(pg: pd.DataFrame) -> pd.DataFrame:
+            present = None
+            if mode == "auto" and len(pg):
+                # per-shard, per-QUERY adaptive choice (same dominance
+                # test as topk(mode="auto")): one drop_duplicates over
+                # in-hand postings shared by every query in the batch
+                present = set(
+                    pg[["field", "term_id"]]
+                    .drop_duplicates()
+                    .itertuples(index=False, name=None)
+                )
             frames = []
             for qid, sp in b_specs.value.items():
-                use_wand = mode == "wand" and safe and not sp.is_boolean
+                if mode == "auto":
+                    ws = sorted(
+                        (
+                            w
+                            for kk, w in sp.term_weights.items()
+                            if kk in (present or ())
+                        ),
+                        reverse=True,
+                    )
+                    use_wand = (
+                        safe
+                        and not sp.is_boolean
+                        and bool(ws)
+                        and ws[0] > sum(ws[1:])
+                    )
+                else:
+                    use_wand = mode == "wand" and safe and not sp.is_boolean
                 fn = wand_mod.wand if use_wand else wand_mod.taat
                 ids, scores = fn(pg, sp, k)
                 if ids.size:

@@ -144,10 +144,13 @@ def main() -> int:
         t0 = time.monotonic()
         got = eng.expand_fuzzy("content", term, d, max_expansions=None)
         cold = time.monotonic() - t0
-        t0 = time.monotonic()
-        got2 = eng.expand_fuzzy("content", term, d, max_expansions=None)
-        warm = time.monotonic() - t0
-        assert got == got2
+        warm = None
+        for _ in range(3):  # min-of-3: shared-host noise exceeds the
+            t0 = time.monotonic()  # sub-second signal at 1M terms
+            got2 = eng.expand_fuzzy("content", term, d, max_expansions=None)
+            dt = time.monotonic() - t0
+            warm = dt if warm is None else min(warm, dt)
+            assert got == got2
         # scan-row evidence: rows the gram plan aggregates vs rows the
         # old band plan admits
         candidate_rows = (
@@ -165,9 +168,14 @@ def main() -> int:
         )
         # force tier 2 and check identical output + its warm time
         saved, eng._dict_ngrams = eng._dict_ngrams, None
-        t0 = time.monotonic()
-        got_band = eng.expand_fuzzy("content", term, d, max_expansions=None)
-        band_warm = time.monotonic() - t0
+        band_warm = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            got_band = eng.expand_fuzzy(
+                "content", term, d, max_expansions=None
+            )
+            dt = time.monotonic() - t0
+            band_warm = dt if band_warm is None else min(band_warm, dt)
         eng._dict_ngrams = saved
         assert got_band == got, (term, d)
         truth_planted = [

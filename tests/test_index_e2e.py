@@ -673,16 +673,22 @@ def test_topk_many_equals_per_query(built, spark):
         "b": QUERIES[1],
         "c": "+if -return import",
     }
-    batch = eng.topk_many(queries, k=8).collect()
-    by_q: dict = {}
-    for r in batch:
-        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
-    assert set(by_q) == set(queries)
-    for qid, q in queries.items():
-        single = [(r["doc_id"], r["score"]) for r in eng.topk(q, k=8).collect()]
-        assert [d for d, _s in by_q[qid]] == [d for d, _s in single]
-        for (_, sa), (_, sb) in zip(by_q[qid], single):
-            assert sa == pytest.approx(sb, rel=1e-12)
+    for batch_mode in ("wand", "auto"):
+        batch = eng.topk_many(queries, k=8, mode=batch_mode).collect()
+        by_q: dict = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        assert set(by_q) == set(queries)
+        for qid, q in queries.items():
+            single = [
+                (r["doc_id"], r["score"])
+                for r in eng.topk(q, k=8).collect()
+            ]
+            assert [d for d, _s in by_q[qid]] == [d for d, _s in single]
+            for (_, sa), (_, sb) in zip(by_q[qid], single):
+                assert sa == pytest.approx(sb, rel=1e-12)
 
 
 def test_fetch_topk_hydrates_with_pruned_store_scan(built, spark):
