@@ -211,6 +211,30 @@ def term_freqs_positions(
     return out[["doc_id", "term", "tf", "dl", "positions"]]
 
 
+def token_char_spans(text: str, tokenizer: str) -> list[tuple[int, int]]:
+    """Character spans (start, end) of the ORIGINAL token positions in
+    ``text`` — span i corresponds to position i of the positional
+    index, so a highlight window [start_pos, end_pos] renders as
+    ``text[spans[start_pos][0]:spans[end_pos][1]]``.
+
+    'simple' tokenizes the LOWERCASED text; ASCII lowering is
+    length-stable so the lowered offsets index the original string
+    (code corpora are ASCII-dominated; a locale-expanding lowercase
+    would shift offsets). 'code' emits word-part expansions that SHARE
+    their original's position (Lucene discountOverlaps), so spans are
+    the raw tokens'. 'path'/'lang' REWRITE the text before tokenizing
+    (separator collapse / whole-value token) — offsets don't map back,
+    so snippet rendering refuses rather than mis-slice."""
+    if tokenizer == "simple":
+        return [m.span() for m in SIMPLE_TOKEN_RE.finditer(text.lower())]
+    if tokenizer == "code":
+        return [m.span() for m in RAW_TOKEN_RE.finditer(text)]
+    raise ValueError(
+        f"tokenizer {tokenizer!r} rewrites text before tokenizing — "
+        "char offsets cannot map back to the stored field"
+    )
+
+
 def phrase_tokens(query: str, tokenizer: str = "code") -> list[str]:
     """Query-side phrase analysis: the ORIGINAL token sequence in
     document order (no word-part expansions, no dedup) — position i of

@@ -1157,6 +1157,7 @@ class IndexQueryEngine:
         field: str = "content",
         window: int = 16,
         mode: str = "wand",
+        render: bool = False,
     ) -> DataFrame:
         """Top-k + best highlight window per hit — the Solr `hl=true`
         analog the reference's front-end relies on, served from the
@@ -1176,7 +1177,10 @@ class IndexQueryEngine:
         ``topk``'s; a hit none of whose ANALYZED query tokens occurs
         literally (possible only for pure wildcard/fuzzy rewrites
         whose base token is not itself a dictionary term) has no span
-        and is omitted, as before."""
+        and is omitted, as before. ``render=True`` additionally
+        attaches the window's actual text slice (``snippet`` column)
+        via a pruned doc-store point lookup — see
+        ``_render_snippets``."""
         if not self.manifest.get("with_positions"):
             raise ValueError(
                 "index was built without positions "
@@ -1245,7 +1249,55 @@ class IndexQueryEngine:
         local = self._postings_for(spec).groupBy("shard").applyInPandas(
             shard_hl, schema=out_schema
         )
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not render:
+            return out
+        return self._render_snippets(out, field)
+
+    def _render_snippets(self, hl: DataFrame, field: str) -> DataFrame:
+        """Attach the actual text slice for each highlight window — the
+        Solr `hl` snippet payload. The k hit ids are known once the
+        window frame collects (k rows on the driver), so the stored
+        text comes from the SAME partition-pruned doc-store point
+        lookup as ``fetch_topk``; token-position -> char-span mapping
+        is ``analyze.token_char_spans`` (k documents re-scanned by one
+        regex each, driver-side — microseconds against the retrieval
+        job). -> input columns + ``snippet``."""
+        rows = hl.collect()
+        out_schema = T.StructType(
+            list(hl.schema.fields)
+            + [T.StructField("snippet", T.StringType(), True)]
+        )
+        if not rows:
+            return _empty_df(self.spark, out_schema)
+        tokenizer = self.fields[field]
+        dps = int(self.manifest.get("docs_per_shard") or 1)
+        ids = [int(r["doc_id"]) for r in rows]
+        shards = sorted({i // dps for i in ids})
+        texts = {
+            int(r["doc_id"]): r[field] or ""
+            for r in self.spark.read.parquet(f"{self.index_dir}/docs")
+            .filter(
+                F.col("shard").isin(shards) & F.col("doc_id").isin(ids)
+            )
+            .select("doc_id", field)
+            .collect()
+        }
+        recs = []
+        for r in rows:
+            text = texts.get(int(r["doc_id"]), "")
+            spans = analyze.token_char_spans(text, tokenizer)
+            s, e = int(r["start_pos"]), int(r["end_pos"])
+            snip = (
+                text[spans[s][0]:spans[e][1]]
+                if s < len(spans) and e < len(spans)
+                else None
+            )
+            recs.append({**r.asDict(), "snippet": snip})
+        return self.spark.createDataFrame(
+            pd.DataFrame(recs, columns=[f.name for f in out_schema.fields]),
+            out_schema,
+        )
 
     def count_matches(
         self, query: str, fields: list[str] | None = None

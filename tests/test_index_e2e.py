@@ -755,6 +755,25 @@ def test_highlight_topk_matches_python_oracle(spark, tmp_path):
                 best = (n, merged[lo], merged[hi])
         assert (r["n_hits"], r["start_pos"], r["end_pos"]) == best
 
+    # render=True attaches the actual text slice (Solr hl snippet):
+    # the snippet is exactly text[char(start_pos) : char_end(end_pos)]
+    # and its first/last raw tokens are the window's boundary tokens
+    rendered = eng.highlight_topk(
+        q, k=8, field="content", window=window, render=True
+    ).collect()
+    assert [r["doc_id"] for r in rendered] == [r["doc_id"] for r in got]
+    content_of = dict(zip(pdocs["doc_id"], pdocs["content"]))
+    for r in rendered:
+        text = content_of[r["doc_id"]]
+        spans = analyze.token_char_spans(text, "code")
+        s, e = r["start_pos"], r["end_pos"]
+        assert r["snippet"] == text[spans[s][0]:spans[e][1]]
+        raw = analyze.RAW_TOKEN_RE.findall(r["snippet"])
+        full = analyze.RAW_TOKEN_RE.findall(text)
+        assert raw[0] == full[s] and raw[-1] == full[e]
+    with pytest.raises(ValueError, match="cannot map back"):
+        analyze.token_char_spans("a/b", "path")
+
 
 def test_auto_mode_planner(built, spark):
     """mode="auto": uniform common terms -> taat; one dominant rare
