@@ -760,6 +760,57 @@ def bm25_wildcard_infix(spark, sf_dir):
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def bm25_wildcard_modes(spark, sf_dir):
+    """All three wildcard rewrites driver-checked in ONE entry (fold:
+    50-entry cap, VERDICT r2 note): prefix ('st*'), leading ('*ble',
+    reversed-term dictionary), and infix ('t*e', one pushed range +
+    JVM residual) each hash-match their own LIKE-rewrite oracle,
+    tagged by mode."""
+    pre = bm25_wildcard(spark, sf_dir)
+    lead = bm25_wildcard_leading(spark, sf_dir)
+    inf = bm25_wildcard_infix(spark, sf_dir)
+    return (
+        pre.select(F.lit("prefix").alias("mode"), "doc_id", "score")
+        .unionByName(
+            lead.select(F.lit("leading").alias("mode"), "doc_id", "score")
+        )
+        .unionByName(
+            inf.select(F.lit("infix").alias("mode"), "doc_id", "score")
+        )
+    )
+
+
+MLT_DOC_ID, MLT_MAX_TERMS, MLT_K = 42, 8, 15
+
+
+def mlt_topk_q(spark, sf_dir):
+    """More-like-this (Lucene/Solr MLT): re-analyze the stored text of
+    source doc 42 via the pruned doc-store point lookup, rank its
+    terms by tf x idf driver-side, run the top 8 as an OR query, and
+    return the top 15 excluding the source (query.more_like_this).
+    Oracle recomputes the same term selection and BM25 in DuckDB."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.more_like_this(
+        MLT_DOC_ID, k=MLT_K, max_terms=MLT_MAX_TERMS, mode="taat"
+    )
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+SUGGEST_TERM, SUGGEST_K = "sor", 10
+
+
+def spell_suggest_q(spark, sf_dir):
+    """Spell-suggest / did-you-mean (Lucene DirectSpellChecker, Solr
+    spellcheck): dictionary terms within Damerau-Levenshtein distance
+    2 of the misspelled 'sor', ranked (distance, df desc, term) —
+    candidate generation reuses the fuzzy n-gram/length-band prune
+    tiers, never a full dictionary scan (query.suggest)."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    return eng.suggest(SUGGEST_TERM, k=SUGGEST_K, max_edits=2)
+
+
 def bm25_fuzzy(spark, sf_dir):
     """Typo-tolerant term match (sow~2): dictionary terms within
     unrestricted Damerau-Levenshtein distance 2 (query.expand_fuzzy,
@@ -969,11 +1020,16 @@ def ann_filtered_topk_q(spark, sf_dir):
     (build_ann_index(attr_cols=...)), so the predicate pushes into the
     SAME partition-pruned bucket scan (PushedFilters alongside
     PartitionFilters — plan-asserted in tests/test_ann.py); no side
-    join per query."""
+    join per query. BOTH persisted artifacts store the attrs, so the
+    LSH (probed buckets) and IVF (nprobe cells) paths are each
+    driver-checked here, tagged by cfg."""
     idx = _ensure_ann(spark, sf_dir)
-    return idx.lsh_topk(
-        _query_vec(spark, sf_dir), k=10, probes=5, where=ANN_FILTER
-    )
+    q = _query_vec(spark, sf_dir)
+    lsh = idx.lsh_topk(q, k=10, probes=5, where=ANN_FILTER)
+    ivf = idx.ivf_topk(q, k=10, nprobe=3, where=ANN_FILTER)
+    return lsh.select(
+        F.lit("lsh").alias("cfg"), "vec_id", "cos"
+    ).unionByName(ivf.select(F.lit("ivf").alias("cfg"), "vec_id", "cos"))
 
 
 def embedding_neardup_exact_q(spark, sf_dir):
@@ -1059,11 +1115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full local sweep at sf0.01 with the same rows/schema/hash
     comparison."""
     return {
+        "mlt_topk": mlt_topk_q,
+        "spell_suggest": spell_suggest_q,
         "bm25_sorted_by_field": bm25_sorted_by_field,
         "highlight_topk": highlight_topk_q,
         "ann_filtered_topk": ann_filtered_topk_q,
         "bm25_fuzzy": bm25_fuzzy,
-        "bm25_wildcard_infix": bm25_wildcard_infix,
+        "bm25_wildcard_modes": bm25_wildcard_modes,
         "relational_composite": relational_composite,
         "q1_pricing_summary": q1_pricing_summary,
         "join_multiway_revenue": join_multiway_revenue,
@@ -1089,8 +1147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_brute": bm25_brute,
         "bm25_taat_wand": bm25_taat_wand,
         "bm25_after_delete": bm25_after_delete,
-        "bm25_wildcard": bm25_wildcard,
-        "bm25_wildcard_leading": bm25_wildcard_leading,
         "bm25_boolean": bm25_boolean,
         "bm25_phrase_modes": bm25_phrase_modes,
         "bm25_topk_batch": bm25_topk_batch,
@@ -1161,6 +1217,30 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
 def _in_list(terms: list[str]) -> str:
     quoted = ", ".join(f"'{t}'" for t in terms)
     return f"term IN ({quoted})"
+
+
+def _mlt_term_cond(doc_id: int, max_terms: int) -> str:
+    """term_cond for the more-like-this oracle: the source doc's top
+    ``max_terms`` terms by tf x idf (Robertson idf over the whole
+    corpus, ties -> term asc) — the same selection
+    query.more_like_this computes driver-side. Self-contained
+    subquery (DuckDB allows WITH inside a parenthesized subquery), so
+    it composes with _bm25_sql's own CTE chain; n_docs follows
+    _bm25_sql's convention (count of docs with >= 1 token)."""
+    return f"""term IN (SELECT term FROM (
+  WITH t2 AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> ''))
+                AS term FROM documents),
+  tf2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+          FROM t2 GROUP BY 1, 2),
+  df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY 1),
+  st2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM t2)
+  SELECT tf2.term FROM tf2 JOIN df2 USING (term) CROSS JOIN st2
+  WHERE tf2.doc_id = {doc_id}
+  ORDER BY tf2.tf * ln(1 + (st2.n_docs - df2.df + 0.5)
+                           / (df2.df + 0.5)) DESC,
+           tf2.term ASC
+  LIMIT {max_terms}))"""
 
 
 _BM25_SQL = _bm25_sql(_in_list(BM25_TERMS))
@@ -1393,19 +1473,23 @@ WHERE round({cos}, 6) >= {threshold}
 
 
 def _ann_ivf_sql(
-    k: int = 10, n_centroids: int = ANN_CENTROIDS_N, nprobe: int = 3
+    k: int = 10,
+    n_centroids: int = ANN_CENTROIDS_N,
+    nprobe: int = 3,
+    attr_where: str = "",
 ) -> str:
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+             FROM embeddings),
 stride AS (SELECT greatest(count(*) // {n_centroids}, 1) AS st FROM emb),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
           FROM emb, stride WHERE vec_id % stride.st = 0
           ORDER BY vec_id LIMIT {n_centroids}),
-scored AS (SELECT emb.vec_id, emb.e, cents.cid,
+scored AS (SELECT emb.vec_id, emb.label, emb.e, cents.cid,
                   {_COS.format(a="emb.e", b="cents.c")} AS cc
            FROM emb CROSS JOIN cents),
-assigned AS (SELECT vec_id, e, cid FROM (
-    SELECT vec_id, e, cid,
+assigned AS (SELECT vec_id, label, e, cid FROM (
+    SELECT vec_id, label, e, cid,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY cc DESC, cid ASC) AS rn
     FROM scored) t WHERE rn = 1),
@@ -1414,7 +1498,8 @@ probes AS (SELECT cid FROM cents, q
            ORDER BY {_COS.format(a="cents.c", b="q.qv")} DESC, cid ASC
            LIMIT {nprobe}),
 cand AS (SELECT a.vec_id, a.e FROM assigned a
-         WHERE a.cid IN (SELECT cid FROM probes)),
+         WHERE a.cid IN (SELECT cid FROM probes)
+           {f"AND ({attr_where})" if attr_where else ""}),
 s AS (SELECT cand.vec_id, {_COS.format(a="cand.e", b="q.qv")} AS sc
       FROM cand, q)
 SELECT vec_id, round(sc, 6) AS cos FROM s
@@ -1781,16 +1866,37 @@ def oracle_sql() -> dict[str, str]:
                 + ")"
             ),
         ),
-        "bm25_wildcard": _bm25_sql("term LIKE 'st%' OR term = 'join'"),
-        "bm25_wildcard_infix": _bm25_sql(
-            "term LIKE 't%e' OR term = 'join'"
-        ),
+        "bm25_wildcard_modes": f"""
+            SELECT 'prefix' AS mode, * FROM
+              ({_bm25_sql("term LIKE 'st%' OR term = 'join'")})
+            UNION ALL
+            SELECT 'leading' AS mode, * FROM
+              ({_bm25_sql("term LIKE '%ble' OR term = 'join'")})
+            UNION ALL
+            SELECT 'infix' AS mode, * FROM
+              ({_bm25_sql("term LIKE 't%e' OR term = 'join'")})
+        """,
         "bm25_fuzzy": _bm25_sql(
             "damerau_levenshtein(term, 'sow') <= 2 OR term = 'join'"
         ),
-        "bm25_wildcard_leading": _bm25_sql(
-            "term LIKE '%ble' OR term = 'join'"
+        "mlt_topk": _bm25_sql(
+            _mlt_term_cond(MLT_DOC_ID, MLT_MAX_TERMS),
+            k=MLT_K,
+            bool_where=f"WHERE doc_id <> {MLT_DOC_ID}",
         ),
+        "spell_suggest": f"""
+            {_TOKS_CTE},
+            d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM toks GROUP BY 1)
+            SELECT term,
+                   CAST(damerau_levenshtein(term, '{SUGGEST_TERM}')
+                        AS INTEGER) AS distance,
+                   df
+            FROM d
+            WHERE damerau_levenshtein(term, '{SUGGEST_TERM}') <= 2
+            ORDER BY distance ASC, df DESC, term ASC
+            LIMIT {SUGGEST_K}
+        """,
         "bm25_boolean": _bm25_sql(
             _in_list(["table", "spark"]),
             bool_where=(
@@ -2006,9 +2112,13 @@ def oracle_sql() -> dict[str, str]:
         # ANN: the md5-seeded hyperplanes / strided centroid sample make
         # the candidate sets SQL-reproducible — full hash-match oracles.
         "ann_lsh_topk": _ann_lsh_sql(k=10, probes=5),
-        "ann_filtered_topk": _ann_lsh_sql(
-            k=10, probes=5, attr_where=ANN_FILTER
-        ),
+        "ann_filtered_topk": f"""
+            SELECT 'lsh' AS cfg, * FROM
+              ({_ann_lsh_sql(k=10, probes=5, attr_where=ANN_FILTER)})
+            UNION ALL
+            SELECT 'ivf' AS cfg, * FROM
+              ({_ann_ivf_sql(k=10, nprobe=3, attr_where=ANN_FILTER)})
+        """,
         "ann_ivf_topk": _ann_ivf_sql(k=10, nprobe=3),
         "embedding_neardup_lsh": (
             "SELECT '2x3' AS cfg, * FROM ("

@@ -473,20 +473,33 @@ class IndexQueryEngine:
             raise ValueError("empty fuzzy term is not allowed")
         if max_edits < 1:
             return [term]
+        cands = sorted(
+            ((df, t) for t, df, _d in
+             self._fuzzy_candidates(field, term, max_edits)),
+            key=lambda p: (-p[0], p[1]),
+        )
+        if max_expansions:
+            cands = cands[:max_expansions]
+        return sorted(t for _df, t in cands)
+
+    def _fuzzy_candidates(
+        self, field: str, term: str, max_edits: int
+    ) -> list[tuple[str, int, int]]:
+        """Exact set of dictionary terms within Damerau-Levenshtein
+        distance <= ``max_edits`` of ``term``, with stats ->
+        [(term, df, distance)], unordered. The pruned-superset tiers
+        documented on ``expand_fuzzy`` generate candidates; the exact
+        DL check always runs driver-side on the survivors. Shared by
+        ``expand_fuzzy`` (fuzzy query rewrite) and ``suggest``
+        (spell-suggest), which apply different orderings."""
         if self._dict_cache is not None:
-            cands = sorted(
-                (
-                    (df, t)
-                    for (f, t), df in self._dict_cache.items()
-                    if f == field
-                    and abs(len(t) - len(term)) <= max_edits
-                    and _dl_distance(term, t, max_edits) <= max_edits
-                ),
-                key=lambda p: (-p[0], p[1]),
-            )
-            if max_expansions:
-                cands = cands[:max_expansions]
-            return sorted(t for _df, t in cands)
+            return [
+                (t, df, d)
+                for (f, t), df in self._dict_cache.items()
+                if f == field
+                and abs(len(t) - len(term)) <= max_edits
+                and (d := _dl_distance(term, t, max_edits)) <= max_edits
+            ]
         rows = None
         qgrams = sorted({term[i:i + 3] for i in range(len(term) - 2)})
         min_shared = len(qgrams) - 4 * max_edits
@@ -528,17 +541,119 @@ class IndexQueryEngine:
                 .select("term", "df")
                 .collect()
             )
-        cands = sorted(
+        return [
+            (r["term"], int(r["df"]), d)
+            for r in rows
+            if (d := _dl_distance(term, r["term"], max_edits)) <= max_edits
+        ]
+
+    def suggest(
+        self,
+        term: str,
+        field: str | None = None,
+        k: int = 5,
+        max_edits: int = 2,
+    ) -> DataFrame:
+        """Spell-suggest / did-you-mean (Lucene DirectSpellChecker,
+        Solr ``spellcheck``): dictionary terms within Damerau-
+        Levenshtein distance <= ``max_edits`` of ``term``, ranked
+        (distance asc, df desc, term asc) — closest first, popularity
+        breaks distance ties, exactly DirectSpellChecker's
+        ``comparator`` contract. Candidate generation reuses the fuzzy
+        tiers (``_fuzzy_candidates``: n-gram posting prune at scale,
+        length-band fallback), so cost matches a fuzzy-term rewrite —
+        never a full dictionary scan. An exact dictionary hit comes
+        back at distance 0 (callers wanting pure corrections filter
+        it). -> DataFrame(term, distance, df), k rows."""
+        field = field or next(iter(self.fields))
+        if max_edits < 1:
+            raise ValueError("suggest needs max_edits >= 1")
+        cands = self._fuzzy_candidates(field, term, max_edits)
+        cands.sort(key=lambda c: (c[2], -c[1], c[0]))
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("distance", T.IntegerType(), False),
+                T.StructField("df", T.LongType(), False),
+            ]
+        )
+        top = cands[:k]
+        if not top:
+            return _empty_df(self.spark, out_schema)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "term": [t for t, _df, _d in top],
+                    "distance": np.array(
+                        [d for _t, _df, d in top], dtype="int32"
+                    ),
+                    "df": np.array(
+                        [df for _t, df, _d in top], dtype="int64"
+                    ),
+                }
+            ),
+            out_schema,
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        field: str | None = None,
+        k: int = 10,
+        max_terms: int = 8,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """More-like-this (Lucene/Solr MLT, the reference's Solr
+        deployment exposes it on every indexed core): find the docs
+        most similar to a SOURCE doc by re-analyzing its stored text
+        — Lucene MoreLikeThis's term-vector-less path. The source
+        doc's field text comes from the same partition-pruned
+        doc-store point lookup as ``fetch_topk`` (one shard dir, one
+        doc_id row-group filter); its terms rank driver-side by
+        tf x idf (Robertson idf, ties -> term asc) and the top
+        ``max_terms`` form an OR query executed by the normal pruned
+        top-k path. The source doc is excluded EXACTLY: per-shard
+        top-(k+1) necessarily contains the true top-k sans source, so
+        filter-then-limit(k) after the global gather is rank-correct.
+        -> DataFrame(doc_id, score), the k most similar docs."""
+        field = field or next(iter(self.fields))
+        dps = int(self.manifest.get("docs_per_shard") or 1)
+        row = (
+            self.spark.read.parquet(f"{self.index_dir}/docs")
+            .filter(
+                (F.col("shard") == int(doc_id) // dps)
+                & (F.col("doc_id") == int(doc_id))
+            )
+            .select(field)
+            .collect()
+        )
+        text = row[0][0] if row else None
+        if not text:
+            return _empty_df(self.spark, _HITS_SCHEMA)
+        toks = list(
+            analyze.TOKENIZERS[self.fields[field]](pd.Series([text]))[0]
+        )
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = self._lookup_stats([(field, t) for t in sorted(tf)])
+        nd = self.n_docs[field]
+        ranked = sorted(
             (
-                (int(r["df"]), r["term"])
-                for r in rows
-                if _dl_distance(term, r["term"], max_edits) <= max_edits
+                (tf[t] * float(bm25.idf(nd, df)), t)
+                for (_f, t), df in dfs.items()
             ),
             key=lambda p: (-p[0], p[1]),
         )
-        if max_expansions:
-            cands = cands[:max_expansions]
-        return sorted(t for _df, t in cands)
+        terms = [t for _s, t in ranked[:max_terms]]
+        if not terms:
+            return _empty_df(self.spark, _HITS_SCHEMA)
+        hits = self.topk(" ".join(terms), k=k + 1, fields=[field], mode=mode)
+        return (
+            hits.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def _lookup_stats(self, pairs) -> dict[tuple[str, str], int]:
         """Global df per (field, term) from the dictionary — the idf

@@ -1331,3 +1331,95 @@ def test_no_match_results_are_empty_and_cheap(spark, built):
     ).collect()
     keys = {r["query_id"] for r in many}
     assert "hit" in keys and "miss" not in keys
+
+
+def test_suggest_matches_python_oracle(built, spark):
+    """Spell-suggest (query.suggest, Lucene DirectSpellChecker
+    ranking): (distance asc, df desc, term asc) against the full
+    dictionary; cached and scan candidate tiers agree; exact
+    dictionary hits surface at distance 0."""
+    from gxdindexer_spark.operators.query import _dl_distance
+
+    idx, _docs, _pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    vocab = {
+        t: df for (f, t), df in eng._dict_cache.items() if f == "content"
+    }
+    seed = sorted(t for t in vocab if len(t) >= 5)[0]
+    typo = seed[1] + seed[0] + seed[2:]  # transpose first two chars
+    truth = sorted(
+        (
+            (t, _dl_distance(typo, t, 2), df)
+            for t, df in vocab.items()
+            if _dl_distance(typo, t, 2) <= 2
+        ),
+        key=lambda c: (c[1], -c[2], c[0]),
+    )
+    assert truth, "fixture vocab yields no suggestions"
+    got = [
+        (r["term"], r["distance"], r["df"])
+        for r in eng.suggest(typo, "content", k=5).collect()
+    ]
+    assert got == truth[:5]
+    # uncached (scan-tier) candidate generation returns the same list
+    eng2 = IndexQueryEngine(spark, idx, preload_dictionary=0)
+    got2 = [
+        (r["term"], r["distance"], r["df"])
+        for r in eng2.suggest(typo, "content", k=5).collect()
+    ]
+    assert got2 == got
+    # an exact dictionary hit ranks first at distance 0
+    top = eng.suggest(seed, "content", k=1).collect()[0]
+    assert (top["term"], top["distance"]) == (seed, 0)
+    # schema is stable even when nothing is within distance
+    empty = eng.suggest("qqqqqqqqqqqqqqqqqqqq", "content", k=5)
+    assert [f.name for f in empty.schema.fields] == [
+        "term", "distance", "df",
+    ]
+    assert empty.collect() == []
+
+
+def test_more_like_this_matches_explicit_query(built, spark):
+    """MLT (query.more_like_this): term selection equals the
+    python-side tf x idf ranking over the source doc's re-analyzed
+    stored text, the result equals the explicit OR query with the
+    source doc excluded, and a missing doc_id yields an empty frame."""
+    from collections import Counter
+
+    idx, _docs, pdocs, _m = built
+    eng = IndexQueryEngine(spark, idx)
+    src = int(pdocs["doc_id"].iloc[10])
+    text = pdocs.loc[pdocs["doc_id"] == src, "content"].iloc[0]
+    tf = Counter(analyze.TOKENIZERS["code"](pd.Series([text]))[0])
+    nd = eng.n_docs["content"]
+    ranked = sorted(
+        (
+            (tf[t] * float(bm25.idf(nd, eng._dict_cache[("content", t)])), t)
+            for t in tf
+            if ("content", t) in eng._dict_cache
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )
+    terms = [t for _s, t in ranked[:8]]
+    assert terms, "fixture doc has no indexed terms"
+    unfiltered = eng.topk(
+        " ".join(terms), k=11, fields=["content"], mode="taat"
+    ).collect()
+    # the source doc matches its own terms -> exclusion is observable
+    assert src in {int(r["doc_id"]) for r in unfiltered}
+    expected = [
+        (int(r["doc_id"]), r["score"])
+        for r in unfiltered
+        if int(r["doc_id"]) != src
+    ][:10]
+    got = [
+        (int(r["doc_id"]), r["score"])
+        for r in eng.more_like_this(
+            src, "content", k=10, max_terms=8, mode="taat"
+        ).collect()
+    ]
+    assert got == expected
+    # unknown doc_id -> empty, stable schema
+    miss = eng.more_like_this(10**9, "content", k=5)
+    assert [f.name for f in miss.schema.fields] == ["doc_id", "score"]
+    assert miss.collect() == []
