@@ -94,6 +94,39 @@ def _ensure_index_pos(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+SYNONYMS = {"fast": ["quick"], "big": ["huge"]}
+SYNONYM_QUERY = "quick huge"  # neither term occurs literally anywhere
+
+
+def _ensure_index_syn(spark: SparkSession, sf_dir: str) -> str:
+    """Synonym-expanded variant of the entry index: 'quick'/'huge' are
+    indexed at every 'fast'/'big' position (index-time SynonymGraph,
+    the reference's marker/structure-synonym pattern)."""
+    idx = _index_dir_for(sf_dir) + "_syn"
+    builder = IndexBuilder(
+        fields={"content": "simple"},
+        docs_per_shard=1000,
+        salt_range=512,
+        block_size=128,
+        synonyms=SYNONYMS,
+    )
+    builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
+    return idx
+
+
+def bm25_synonyms(spark, sf_dir):
+    """Index-time synonym expansion (GxdResultIndexer.java:388-416:
+    markers/structures are searchable by their synonyms): querying
+    'quick huge' — tokens that occur NOWHERE in the corpus — ranks
+    docs by their 'fast'/'big' occurrences, with df/tf from the
+    expanded postings but dl/avgdl from the ORIGINAL token stream
+    (position-increment 0, Lucene discountOverlaps)."""
+    idx = _ensure_index_syn(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    hits = eng.topk(SYNONYM_QUERY, k=BM25_K, mode="taat")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 PHRASE_QUERY = "table part"
 
 
@@ -174,16 +207,22 @@ def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
 
 
 def bm25_taat_wand(spark, sf_dir):
-    """BOTH execution modes driver-checked in one entry (fold: 50-cap):
-    exact TAAT and block-max WAND must each hash-match the SAME BM25
-    oracle — rank identity of the pruned path is the flagship
-    invariant (O3, wand≡taat property tests)."""
+    """THREE execution strategies driver-checked in one entry (fold:
+    50-cap): index-free brute force, exact TAAT, and block-max WAND
+    must each hash-match the SAME BM25 oracle — rank identity of the
+    pruned path is the flagship invariant (O3, wand≡taat property
+    tests)."""
     taat = _bm25_index(spark, sf_dir, "taat")
     wand = _bm25_index(spark, sf_dir, "wand")
-    return taat.select(
-        F.lit("taat").alias("mode"), "doc_id", "score"
-    ).unionByName(
-        wand.select(F.lit("wand").alias("mode"), "doc_id", "score")
+    brute = bm25_brute(spark, sf_dir)
+    return (
+        taat.select(F.lit("taat").alias("mode"), "doc_id", "score")
+        .unionByName(
+            wand.select(F.lit("wand").alias("mode"), "doc_id", "score")
+        )
+        .unionByName(
+            brute.select(F.lit("brute").alias("mode"), "doc_id", "score")
+        )
     )
 
 
@@ -1144,7 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta_q,
         "multimodal_features": multimodal_features_q,
         "tokenize_tf_top50": tokenize_tf_top50,
-        "bm25_brute": bm25_brute,
+        "bm25_synonyms": bm25_synonyms,
         "bm25_taat_wand": bm25_taat_wand,
         "bm25_after_delete": bm25_after_delete,
         "bm25_boolean": bm25_boolean,
@@ -1217,6 +1256,46 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
 def _in_list(terms: list[str]) -> str:
     quoted = ", ".join(f"'{t}'" for t in terms)
     return f"term IN ({quoted})"
+
+
+def _bm25_syn_sql(
+    synonyms: dict, term_cond: str, k: int = BM25_K
+) -> str:
+    """BM25 oracle with index-time synonym expansion: tf/df come from
+    the UNION of original tokens and synonym emissions, dl/avgdl from
+    the ORIGINAL stream only (position-increment 0, discountOverlaps)
+    — exactly analyze.term_freqs(synonyms=...)."""
+    vals = ", ".join(
+        f"('{b}', '{s}')"
+        for b, ss in sorted(synonyms.items())
+        for s in sorted(ss)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> ''))
+                AS term FROM documents),
+all_toks AS (SELECT doc_id, term FROM toks
+             UNION ALL
+             SELECT toks.doc_id, m.syn AS term
+             FROM toks JOIN (VALUES {vals}) m(base, syn)
+               ON toks.term = m.base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM all_toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT DISTINCT term FROM tf WHERE {term_cond}),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+            ) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _mlt_term_cond(doc_id: int, max_terms: int) -> str:
@@ -1843,11 +1922,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY term
             ORDER BY cf DESC, term ASC LIMIT 50
         """,
-        "bm25_brute": _BM25_SQL,
+        "bm25_synonyms": _bm25_syn_sql(
+            SYNONYMS, _in_list(SYNONYM_QUERY.split())
+        ),
         "bm25_taat_wand": f"""
             SELECT 'taat' AS mode, * FROM ({_BM25_SQL})
             UNION ALL
             SELECT 'wand' AS mode, * FROM ({_BM25_SQL})
+            UNION ALL
+            SELECT 'brute' AS mode, * FROM ({_BM25_SQL})
         """,
         "bm25_sorted_by_field": f"""
             {_TOKS_CTE},

@@ -105,8 +105,22 @@ def original_token_counts(text: pd.Series, tokenizer: str) -> pd.Series:
     return src.str.count(RAW_TOKEN_RE).astype(np.int64)
 
 
+def _synonym_pairs(synonyms: dict[str, list[str]]) -> pd.DataFrame:
+    """{base -> [synonyms]} -> DataFrame(term, _syn) for a vectorized
+    merge against exploded token rows. Bases are matched against
+    ANALYZED tokens (post-lowercase, including sub-token expansions),
+    so callers supply lowercase bases."""
+    return pd.DataFrame(
+        [(b, s) for b, ss in synonyms.items() for s in ss],
+        columns=["term", "_syn"],
+    )
+
+
 def term_freqs(
-    doc_ids: pd.Series, texts: pd.Series, tokenizer: str = "code"
+    doc_ids: pd.Series,
+    texts: pd.Series,
+    tokenizer: str = "code",
+    synonyms: dict[str, list[str]] | None = None,
 ) -> pd.DataFrame:
     """Batch (doc_id, text) -> DataFrame(doc_id, term, tf, dl).
 
@@ -114,6 +128,13 @@ def term_freqs(
     posting build can compute tf-norms without a second join. ``dl``
     counts ORIGINAL token positions (see ``original_token_counts``) so
     expanding tokenizers score identically with and without positions.
+    ``synonyms`` applies index-time synonym expansion (Lucene
+    SynonymGraphFilter at position-increment 0, the reference's
+    pattern of indexing marker/structure synonyms into searchable
+    fields — GxdResultIndexer.java:388-416,825-839): every occurrence
+    of a base token ALSO emits each synonym, sharing the original's
+    position, so dl/avgdl are untouched (discountOverlaps) while the
+    synonym terms gain postings and df.
     Vectorized: explode + groupby, no per-row loops outside the
     regex scan itself.
     """
@@ -124,6 +145,15 @@ def term_freqs(
     )
     frame = frame.explode("term", ignore_index=True)
     frame = frame[frame["term"].notna()]
+    if synonyms and len(frame):
+        extra = frame.merge(_synonym_pairs(synonyms), on="term", how="inner")
+        if len(extra):
+            extra = extra.drop(columns=["term"]).rename(
+                columns={"_syn": "term"}
+            )
+            frame = pd.concat(
+                [frame, extra[frame.columns]], ignore_index=True
+            )
     if frame.empty:
         return pd.DataFrame(
             {
@@ -175,10 +205,16 @@ def tokens_with_positions(
 
 
 def term_freqs_positions(
-    doc_ids: pd.Series, texts: pd.Series, tokenizer: str = "code"
+    doc_ids: pd.Series,
+    texts: pd.Series,
+    tokenizer: str = "code",
+    synonyms: dict[str, list[str]] | None = None,
 ) -> pd.DataFrame:
     """Like ``term_freqs`` but adds a ``positions`` column: the sorted
-    token positions of each (doc, term) — the phrase-query payload."""
+    token positions of each (doc, term) — the phrase-query payload.
+    ``synonyms`` expand at the base token's POSITION (see
+    ``term_freqs``), so phrases match through either the original or
+    the synonym."""
     pairs = tokens_with_positions(texts, tokenizer)
     dl = pairs.map(lambda ps: 1 + max((p for _t, p in ps), default=-1)).astype(
         np.int64
@@ -201,6 +237,16 @@ def term_freqs_positions(
         )
     frame["term"] = frame["pair"].str[0]
     frame["pos"] = frame["pair"].str[1]
+    frame = frame.drop(columns=["pair"])
+    if synonyms and len(frame):
+        extra = frame.merge(_synonym_pairs(synonyms), on="term", how="inner")
+        if len(extra):
+            extra = extra.drop(columns=["term"]).rename(
+                columns={"_syn": "term"}
+            )
+            frame = pd.concat(
+                [frame, extra[frame.columns]], ignore_index=True
+            )
     out = (
         frame.groupby(["doc_id", "term", "dl"], sort=False)["pos"]
         .agg(lambda s: sorted(s))

@@ -60,11 +60,15 @@ def term_freqs_df(
     docs: DataFrame,
     fields: dict[str, str] | None = None,
     with_positions: bool = False,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """docs -> (doc_id, shard, field, term, term_id, tf, dl[, positions])
     via one tokenize pass. With positions on, ``dl`` counts token
     POSITIONS (Lucene semantics: word-part expansions share their
-    original's position and don't lengthen the doc)."""
+    original's position and don't lengthen the doc). ``synonyms``
+    applies index-time synonym expansion at position-increment 0 in
+    every field (analyze.term_freqs; the map closes over the Arrow
+    workers like the rest of the builder params — tiny)."""
     fields = fields or DEFAULT_FIELDS
 
     out_cols = ["doc_id", "shard", "field", "term", "term_id", "tf", "dl"]
@@ -79,11 +83,13 @@ def term_freqs_df(
             for field, tokenizer in fields.items():
                 if with_positions:
                     tf = analyze.term_freqs_positions(
-                        pdf["doc_id"], pdf[field], tokenizer
+                        pdf["doc_id"], pdf[field], tokenizer,
+                        synonyms=synonyms,
                     )
                 else:
                     tf = analyze.term_freqs(
-                        pdf["doc_id"], pdf[field], tokenizer
+                        pdf["doc_id"], pdf[field], tokenizer,
+                        synonyms=synonyms,
                     )
                 if not len(tf):
                     continue
@@ -202,6 +208,7 @@ class IndexBuilder:
         k1: float = bm25.K1,
         b: float = bm25.B,
         with_positions: bool = False,
+        synonyms: dict[str, list[str]] | None = None,
     ):
         self.fields = fields or DEFAULT_FIELDS
         self.docs_per_shard = docs_per_shard
@@ -210,6 +217,13 @@ class IndexBuilder:
         self.k1 = k1
         self.b = b
         self.with_positions = with_positions
+        # canonical form (sorted, deduped, self-maps dropped) so the
+        # params fingerprint is stable across equivalent spellings
+        self.synonyms = {
+            base: sorted({s for s in syns if s != base})
+            for base, syns in sorted((synonyms or {}).items())
+            if any(s != base for s in syns)
+        } or None
 
     def _params_fp(self) -> str:
         """Fingerprint of every parameter that shapes the stored
@@ -228,6 +242,7 @@ class IndexBuilder:
                 "k1": self.k1,
                 "b": self.b,
                 "with_positions": self.with_positions,
+                "synonyms": self.synonyms,
             },
             sort_keys=True,
         )
@@ -508,7 +523,8 @@ class IndexBuilder:
             # MEMORY_AND_DISK: at cluster scale this spills instead of
             # re-running the (expensive) tokenizer pass.
             tf = term_freqs_df(
-                sub, self.fields, with_positions=self.with_positions
+                sub, self.fields, with_positions=self.with_positions,
+                synonyms=self.synonyms,
             ).persist()
             # doc_stats + corpus stats from one aggregate each
             doc_stats = (
@@ -659,6 +675,7 @@ class IndexBuilder:
                 {
                     "fields": self.fields,
                     "with_positions": self.with_positions,
+                    "synonyms": self.synonyms,
                     "docs_per_shard": self.docs_per_shard,
                     "block_size": self.block_size,
                     "k1": self.k1,

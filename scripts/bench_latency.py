@@ -54,6 +54,12 @@ QUERIES = [
 WILDCARDS = ["st* join", "*ble join", "s* t*", "t*e join"]
 FUZZIES = ["sow~2 join", "tabl~1 merge"]
 PHRASES = [("table part", 0), ("table part", 2), ("spark join", 1)]
+# serving surfaces: stored-field paging (offset AND cursor — the
+# cursor predicate keeps deep pages at constant shards x k cost,
+# offset pages pay offset+k per shard), MLT, spell-suggest, rendered
+# highlighting
+SORT_OFFSETS = [0, 100, 1000, 5000]
+SORT_QUERY = "st* join"
 
 
 def pctl(vals: list[float], p: float) -> float:
@@ -93,6 +99,17 @@ def main() -> int:
     eng = IndexQueryEngine(spark, base)
     peng = IndexQueryEngine(spark, base + "_pos")
     eng.topk(QUERIES[0], k=20).collect()  # warmup: codegen + footers
+    # cursor for the deep-page probe: resume AFTER the 1000th result
+    # (untimed setup — a real client carries the cursor from its last
+    # page); measures that search_after depth costs page-1 latency
+    cur_rows = eng.sorted_matches(
+        SORT_QUERY, by="n_chars", k=1, offset=1000, ascending=False
+    ).collect()
+    cursor_after = (
+        (cur_rows[0]["n_chars"], int(cur_rows[0]["doc_id"]))
+        if cur_rows
+        else None
+    )
 
     lat: dict[str, dict[str, float]] = {}
 
@@ -117,6 +134,20 @@ def main() -> int:
         for ph, slop in PHRASES:
             probe(f"phrase{slop}:{ph}", lambda ph=ph, slop=slop:
                   peng.phrase_topk(ph, k=20, slop=slop).collect())
+        for off in SORT_OFFSETS:
+            probe(f"sorted:off{off}", lambda off=off: eng.sorted_matches(
+                SORT_QUERY, by="n_chars", k=20, offset=off,
+                ascending=False).collect())
+        if cursor_after is not None:
+            probe("sorted:cursor_deep", lambda: eng.sorted_matches(
+                SORT_QUERY, by="n_chars", k=20, ascending=False,
+                after=cursor_after).collect())
+        probe("mlt:doc42", lambda: eng.more_like_this(
+            42, k=20, mode="auto").collect())
+        probe("suggest:sor", lambda: eng.suggest("sor", k=10).collect())
+        probe("hl:render", lambda: peng.highlight_topk(
+            "spark join table group", k=10, window=16, mode="taat",
+            render=True).collect())
 
     per_mode = {}
     for m in MODES:

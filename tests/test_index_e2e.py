@@ -1423,3 +1423,83 @@ def test_more_like_this_matches_explicit_query(built, spark):
     miss = eng.more_like_this(10**9, "content", k=5)
     assert [f.name for f in miss.schema.fields] == ["doc_id", "score"]
     assert miss.collect() == []
+
+
+def test_index_time_synonyms(spark, tmp_path):
+    """Index-time synonym expansion (IndexBuilder(synonyms=...), the
+    reference's marker/structure-synonym indexing pattern,
+    GxdResultIndexer.java:388-416): a synonym term scores exactly like
+    its base (same postings, same positions), dl/avgdl are untouched
+    (position-increment 0 / discountOverlaps), phrases match through
+    the synonym, and the params fingerprint forces a rebuild when the
+    map changes."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "shard": [0, 0, 1, 1],
+            "content": [
+                "fast merge sort",
+                "slow fast fast scan",
+                "merge scan order",
+                "fast order",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    syn = {"fast": ["quick", "rapid"], "merge": ["blend"]}
+    params = dict(
+        fields={"content": "simple"},
+        docs_per_shard=2,
+        salt_range=4,
+        block_size=4,
+        with_positions=True,
+    )
+    plain_dir = str(tmp_path / "plain")
+    syn_dir = str(tmp_path / "syn")
+    IndexBuilder(**params).build(sdf, plain_dir, resume=False)
+    IndexBuilder(**params, synonyms=syn).build(sdf, syn_dir, resume=False)
+    plain = IndexQueryEngine(spark, plain_dir)
+    eng = IndexQueryEngine(spark, syn_dir)
+    # synonym == base, exactly (same tf, df, dl)
+    base_hits = [
+        (r["doc_id"], r["score"])
+        for r in eng.topk("fast", k=10, mode="taat").collect()
+    ]
+    for alias in ("quick", "rapid"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng.topk(alias, k=10, mode="taat").collect()
+        ]
+        assert got == base_hits
+    # dl/avgdl untouched by the expansion (discountOverlaps)
+    assert eng.avgdl == plain.avgdl
+    # the base term's own ranking is unchanged vs the plain index
+    assert base_hits == [
+        (r["doc_id"], r["score"])
+        for r in plain.topk("fast", k=10, mode="taat").collect()
+    ]
+    # synonyms inherit the base position: phrases match through them
+    ph = {
+        r["doc_id"]
+        for r in eng.phrase_topk("quick merge", k=10).collect()
+    }
+    assert ph == {0}  # "fast merge sort" only
+    assert {
+        r["doc_id"] for r in eng.phrase_topk("quick blend", k=10).collect()
+    } == {0}
+    # absent from the plain index entirely
+    assert plain.topk("quick", k=10, mode="taat").collect() == []
+    # a changed map changes the params fingerprint (resume rebuilds)
+    fp = IndexBuilder(**params, synonyms=syn)._params_fp()
+    assert fp != IndexBuilder(**params)._params_fp()
+    assert fp != IndexBuilder(
+        **params, synonyms={"fast": ["quick"]}
+    )._params_fp()
+    # canonicalization: order/dupes/self-maps don't change the fp
+    assert fp == IndexBuilder(
+        **params,
+        synonyms={"merge": ["blend", "blend", "merge"],
+                  "fast": ["rapid", "quick"]},
+    )._params_fp()
