@@ -49,6 +49,9 @@ def _docs_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # columns, GxdResultIndexer.java:1234-1239): serves
         # query.sorted_matches' order-by-stored-field paging
         F.col("n_chars"),
+        # second low-cardinality attribute so pivot facets
+        # (query.facet_pivot_stored) have a real (a, b) drill-down
+        F.col("lang"),
     )
 
 
@@ -60,10 +63,10 @@ def _index_dir_for(sf_dir: str) -> str:
     from gxdindexer_spark import schemas
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    # "r5": doc-store columns changed (n_chars rank field added for
-    # sorted_matches; r3 added the facet attribute)
+    # "r6": doc-store columns changed (lang pivot-facet attribute
+    # added; r5 added the n_chars rank field, r3 the facet attribute)
     ver = hashlib.md5(
-        ("r5:" + str(schemas.POSTINGS)).encode()
+        ("r6:" + str(schemas.POSTINGS)).encode()
     ).hexdigest()[:8]
     return f"/tmp/gxdidx_entry_{tag}_{ver}"
 
@@ -188,15 +191,76 @@ FACET_QUERY = "st* join"
 
 
 def facet_counts_q(spark, sf_dir):
-    """Facet counts over the match set grouped by a doc attribute —
-    the reference's GxdResultHasImageIndexer / matrix-group-key
-    pattern served straight off the index. SHARD-LOCAL: the facet
-    column lives in the per-shard doc store, so counts resolve inside
-    the per-shard scoring pass and only tiny count rows shuffle
-    (query.facet_counts_stored)."""
+    """FOUR Solr facet/count shapes driver-checked in one entry
+    (fold: 50-cap): stored-field value facets (facet.field), numeric
+    range facets (facet.range over the n_chars rank column), two-level
+    pivot facets (facet.pivot source x lang), and the bare OR match
+    count — the reference's GxdResultHasImageIndexer /
+    matrix-group-key patterns served straight off the index.
+    SHARD-LOCAL throughout: every facet attribute lives in the
+    per-shard doc store, so counts resolve inside the per-shard
+    scoring pass and only tiny count rows shuffle. Coerced to the
+    common (kind, key1, key2, n_docs) shape for the tagged union."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
-    return eng.facet_counts_stored(FACET_QUERY, by="source")
+    nul = F.lit(None).cast("string")
+    val = eng.facet_counts_stored(FACET_QUERY, by="source").select(
+        F.lit("value").alias("kind"),
+        F.col("source").alias("key1"),
+        nul.alias("key2"),
+        "n_docs",
+    )
+    rng = eng.facet_ranges_stored(
+        FACET_QUERY, by="n_chars", start=0, end=600, gap=100
+    ).select(
+        F.lit("range").alias("kind"),
+        F.col("bucket_start").cast("string").alias("key1"),
+        nul.alias("key2"),
+        "n_docs",
+    )
+    piv = eng.facet_pivot_stored(FACET_QUERY, by_a="source", by_b="lang").select(
+        F.lit("pivot").alias("kind"),
+        F.col("source").alias("key1"),
+        F.col("lang").alias("key2"),
+        "n_docs",
+    )
+    cnt = eng.count_matches(FACET_QUERY).select(
+        F.lit("match_count").alias("kind"),
+        nul.alias("key1"),
+        nul.alias("key2"),
+        F.col("n_matches").alias("n_docs"),
+    )
+    return val.unionByName(rng).unionByName(piv).unionByName(cnt)
+
+
+GROUPED_CFGS = {"8x1": (8, 1), "4x3": (4, 3)}
+
+
+def bm25_grouped_topk_q(spark, sf_dir):
+    """Solr result grouping / field collapse (group=true,
+    group.field=source) driver-checked in one entry: cfg '8x1' is
+    pure collapse (best doc per group, single scatter-gather) and
+    '4x3' is grouped retrieval with group.limit=3 (Solr's own
+    two-pass shape — pass 1 selects groups, pass 2 fills them).
+    Groups rank by head-doc score, docs by (score, doc_id)."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    parts = []
+    for cfg, (kg, kp) in GROUPED_CFGS.items():
+        g = eng.grouped_topk(
+            BM25_QUERY, by="source", k_groups=kg, k_per_group=kp
+        )
+        parts.append(
+            g.select(
+                F.lit(cfg).alias("cfg"),
+                "grp_rank",
+                "source",
+                "doc_id",
+                F.round("score", 4).alias("score"),
+                "rn",
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
@@ -1190,7 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_modes": bm25_phrase_modes,
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_topk_hydrated": bm25_topk_hydrated,
-        "match_count_or": match_count_or,
+        "bm25_grouped_topk": bm25_grouped_topk_q,
         "facet_counts": facet_counts_q,
         "dedup_fingerprint": dedup_fingerprint_q,
         "textstats_composite": textstats_composite_q,
@@ -1256,6 +1320,44 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
 def _in_list(terms: list[str]) -> str:
     quoted = ", ".join(f"'{t}'" for t in terms)
     return f"term IN ({quoted})"
+
+
+def _grouped_topk_sql() -> str:
+    """Grouping oracle (query.grouped_topk): full BM25 scores (the
+    _bm25_sql chain WITHOUT its top-k limit), per-group doc ranks,
+    group heads ranked by head score, then one slice per GROUPED_CFGS
+    config unioned under a cfg tag. NULL-group docs drop, matching
+    the engine's Solr-style contract."""
+    body = f"""
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE {_in_list(BM25_TERMS)} GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+            ) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+j AS (SELECT scored.doc_id, scored.s, d.source FROM scored
+      JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL),
+rnk AS (SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY s DESC, doc_id ASC) AS rn FROM j),
+heads AS (SELECT source, row_number() OVER (
+          ORDER BY s DESC, doc_id ASC) AS grp_rank FROM rnk WHERE rn = 1)
+"""
+    slices = " UNION ALL ".join(
+        f"""SELECT '{cfg}' AS cfg, CAST(h.grp_rank AS INT) AS grp_rank,
+               r.source, r.doc_id, round(r.s, 4) AS score,
+               CAST(r.rn AS INT) AS rn
+            FROM rnk r JOIN heads h USING (source)
+            WHERE h.grp_rank <= {kg} AND r.rn <= {kp}"""
+        for cfg, (kg, kp) in GROUPED_CFGS.items()
+    )
+    return body + slices
 
 
 def _bm25_syn_sql(
@@ -1998,11 +2100,7 @@ def oracle_sql() -> dict[str, str]:
             f"({_bm25_sql(_in_list(q.split()), k=10)})"
             for qid, q in BATCH_QUERIES.items()
         ),
-        "match_count_or": f"""
-            {_TOKS_CTE}
-            SELECT count(DISTINCT doc_id)::BIGINT AS n_matches
-            FROM toks WHERE term LIKE 'st%' OR term = 'join'
-        """,
+        "bm25_grouped_topk": _grouped_topk_sql(),
         "bm25_phrase_modes": """
             SELECT 0 AS slop, * FROM (
             WITH tk AS (
@@ -2081,10 +2179,21 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": f"""
             {_TOKS_CTE},
             m AS (SELECT DISTINCT doc_id FROM toks
-                  WHERE term LIKE 'st%' OR term = 'join')
-            SELECT source, count(*)::BIGINT AS n_docs
-            FROM m JOIN documents USING (doc_id)
-            GROUP BY source
+                  WHERE term LIKE 'st%' OR term = 'join'),
+            j AS (SELECT d.* FROM m JOIN documents d USING (doc_id))
+            SELECT 'value' AS kind, source AS key1,
+                   NULL::VARCHAR AS key2, count(*)::BIGINT AS n_docs
+            FROM j GROUP BY source
+            UNION ALL
+            SELECT 'range', CAST((n_chars // 100) * 100 AS VARCHAR),
+                   NULL, count(*)::BIGINT
+            FROM j WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 2
+            UNION ALL
+            SELECT 'pivot', source, lang, count(*)::BIGINT
+            FROM j WHERE source IS NOT NULL AND lang IS NOT NULL
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'match_count', NULL, NULL, count(*)::BIGINT FROM m
         """,
         "profile_rollup_8way": _profile_rollup_sql(),
         "dedup_fingerprint": f"""

@@ -221,6 +221,17 @@ def main() -> int:
            lambda: eng.sorted_matches(
                BM25_QUERIES[0], by="n_chars", k=15,
                after=(300, 0), ascending=False).collect())
+    # deep paging: offset cost grows with depth (shards x (offset+k)
+    # gather) while the cursor page stays constant — measure both at
+    # depth 2000 so the artifact shows the gap the docstring claims
+    _timed(timings, "bm25_sorted_deep_offset",
+           lambda: eng.sorted_matches(
+               BM25_QUERIES[0], by="n_chars", k=15, offset=2000,
+               ascending=False).collect())
+    _timed(timings, "bm25_sorted_deep_cursor",
+           lambda: eng.sorted_matches(
+               BM25_QUERIES[0], by="n_chars", k=15,
+               after=(60, 0), ascending=False).collect())
     # positional build + exact phrase query
     pidx = idx_dir + "_pos"
     shutil.rmtree(pidx, ignore_errors=True)
@@ -253,6 +264,23 @@ def main() -> int:
     # against direct doc-store partition reads (no match-set shuffle)
     _timed(timings, "facet_counts_stored",
            lambda: eng.facet_counts_stored("st* join", by="source").collect())
+    # range + pivot facets (Solr facet.range / facet.pivot), same
+    # shard-local shape over the stored n_chars / source x lang attrs
+    _timed(timings, "facet_ranges",
+           lambda: eng.facet_ranges_stored(
+               "st* join", by="n_chars", start=0, end=600, gap=100
+           ).collect())
+    _timed(timings, "facet_pivot",
+           lambda: eng.facet_pivot_stored(
+               "st* join", by_a="source", by_b="lang").collect())
+    # Solr result grouping: single-pass collapse and two-pass grouped
+    _timed(timings, "bm25_collapse",
+           lambda: eng.grouped_topk(
+               BM25_QUERIES[0], by="source", k_groups=8).collect())
+    _timed(timings, "bm25_grouped",
+           lambda: eng.grouped_topk(
+               BM25_QUERIES[0], by="source", k_groups=4, k_per_group=3
+           ).collect())
 
     # ----------------------------------------------- operator suite
     for name in ENTRY_QUERIES:

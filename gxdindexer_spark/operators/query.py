@@ -27,7 +27,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1264,6 +1264,293 @@ class IndexQueryEngine:
             shard_facets, schema=out_schema
         )
         return local.groupBy(by).agg(F.sum("n_docs").alias("n_docs"))
+
+    def _shard_group_heads(self, spec, by, k_groups, k_per_group, within):
+        """Per-shard worker factory for grouped retrieval: score every
+        match (wand.match_scores), attach the group value from a
+        column-pruned pyarrow read of the shard's OWN doc-store
+        partition, keep each group's local top-``k_per_group`` docs,
+        then only the local top-``k_groups`` groups by head score.
+        ``within`` (optional frozenset) restricts to already-selected
+        groups (pass 2). Emits <= k_groups x k_per_group tiny rows."""
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_groups(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame(
+                {by: [], "doc_id": [], "score": []}
+            ).astype({by: "object", "doc_id": "int64", "score": "float64"})
+            ids, scores = wand_mod.match_scores(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=["doc_id", by]
+            ).to_pandas().set_index("doc_id")
+            grp = store[by].reindex(ids).to_numpy()
+            hit = pd.DataFrame({by: grp, "doc_id": ids, "score": scores})
+            hit = hit[hit[by].notna()]  # Solr-style: ungrouped docs drop
+            if within is not None:
+                hit = hit[hit[by].isin(within)]
+            if not len(hit):
+                return empty
+            hit = hit.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            )
+            hit = hit.groupby(by, sort=False).head(k_per_group)
+            # head score of each group = its first row post-sort
+            heads = hit.drop_duplicates(by).head(k_groups)
+            return hit[hit[by].isin(heads[by])][[by, "doc_id", "score"]]
+
+        return shard_groups
+
+    def _grouped_gather(self, spec, by, k_groups, k_per_group, within):
+        schema = T.StructType(
+            [
+                T.StructField(by, T.StringType(), True),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        fn = self._shard_group_heads(spec, by, k_groups, k_per_group, within)
+        return self._postings_for(spec).groupBy("shard").applyInPandas(
+            fn, schema=schema
+        )
+
+    def grouped_topk(
+        self,
+        query: str,
+        by: str,
+        k_groups: int = 10,
+        k_per_group: int = 1,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr result grouping / field collapse (group=true &
+        group.field=X & group.limit=N — the reference's consumers
+        collapse GXD results per marker): the top ``k_groups`` groups
+        ranked by each group's BEST doc score (ties: lower doc_id),
+        and within each selected group the top ``k_per_group`` docs by
+        (score desc, doc_id asc). Docs whose group value is NULL drop,
+        as in Solr.
+
+        -> (grp_rank, <by>, doc_id, score, rn) where grp_rank ranks
+        the groups 1..k_groups and rn ranks docs inside the group.
+
+        Plan shape: ``k_per_group == 1`` (pure collapse) is ONE
+        scatter-gather — each shard emits its local top-``k_groups``
+        per-group head rows (exact by the distributed-top-k argument
+        applied to group heads: a group whose head is hidden behind
+        k_groups better local heads cannot be a global top-k group),
+        and the gather stage reduces <= shards x k_groups tiny rows.
+        ``k_per_group > 1`` is Solr's own two-pass shape: pass 1
+        selects the groups (collapse), pass 2 re-runs the scatter
+        restricted to the <= k_groups selected values — a shard that
+        holds a selected group's #2 doc but not its head would
+        otherwise never emit it. The final windows run over
+        <= k_groups x k_per_group rows (bounded; fine unpartitioned).
+        """
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField("grp_rank", T.IntegerType(), False),
+                T.StructField(by, T.StringType(), True),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+                T.StructField("rn", T.IntegerType(), False),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        if k_per_group == 1:
+            local = self._grouped_gather(spec, by, k_groups, 1, None)
+        else:
+            # Solr's two-pass shape: pass 1 collapses to select the
+            # group values (a bounded <= k_groups coordinator step,
+            # exactly Solr's first grouping phase), pass 2 re-scatters
+            # restricted to them so shards holding a selected group's
+            # non-head docs emit them too.
+            heads = (
+                self._grouped_gather(spec, by, k_groups, 1, None)
+                .withColumn(
+                    "hr",
+                    F.row_number().over(
+                        Window.partitionBy(by).orderBy(
+                            F.desc("score"), F.asc("doc_id")
+                        )
+                    ),
+                )
+                .filter(F.col("hr") == 1)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k_groups)
+            )
+            selected = frozenset(r[by] for r in heads.collect())
+            if not selected:
+                return _empty_df(self.spark, out_schema)
+            local = self._grouped_gather(
+                spec, by, k_groups, k_per_group, selected
+            )
+        # single DAG branch (ONE postings scan): doc ranks, then group
+        # rank via dense_rank on the per-group head key — head values
+        # are constant within a group and the head doc_id is globally
+        # unique, so dense_rank numbers groups 1..G. All windows run
+        # over <= shards x k_groups x k_per_group gathered rows
+        # (bounded; fine unpartitioned, cf. fusion.py note).
+        w_doc = Window.partitionBy(by).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        w_grp = Window.partitionBy(by)
+        return (
+            local.withColumn("rn", F.row_number().over(w_doc))
+            .filter(F.col("rn") <= k_per_group)
+            .withColumn("head_score", F.max("score").over(w_grp))
+            .withColumn(
+                "head_doc",
+                F.min(
+                    F.when(
+                        F.col("score") == F.col("head_score"),
+                        F.col("doc_id"),
+                    )
+                ).over(w_grp),
+            )
+            .withColumn(
+                "grp_rank",
+                F.dense_rank().over(
+                    Window.orderBy(F.desc("head_score"), F.asc("head_doc"))
+                ),
+            )
+            .filter(F.col("grp_rank") <= k_groups)
+            .select("grp_rank", by, "doc_id", "score", "rn")
+            .orderBy("grp_rank", "rn")
+        )
+
+    def facet_ranges_stored(
+        self,
+        query: str,
+        by: str,
+        start: int,
+        end: int,
+        gap: int,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr facet.range over a NUMERIC stored doc-store column:
+        counts of matching docs per fixed-width bucket
+        [start + i*gap, start + (i+1)*gap) for buckets inside
+        [start, end); out-of-range docs drop (Solr's default, no
+        facet.range.other). Same zero-match-set-shuffle shape as
+        ``facet_counts_stored``: each shard buckets its own matches
+        against its own doc-store partition and only tiny
+        (bucket, count) partials shuffle to the final SUM.
+
+        -> (bucket_start long, n_docs), one row per non-empty bucket.
+        """
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField("bucket_start", T.LongType(), False),
+                T.StructField("n_docs", T.LongType(), False),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_ranges(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame(
+                {"bucket_start": [], "n_docs": []}
+            ).astype({"bucket_start": "int64", "n_docs": "int64"})
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=["doc_id", by]
+            ).to_pandas()
+            hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
+            vals = hit[by].dropna().to_numpy()
+            vals = vals[(vals >= start) & (vals < end)]
+            if not vals.size:
+                return empty
+            buckets = start + ((vals - start) // gap).astype("int64") * gap
+            vc = pd.Series(buckets).value_counts()
+            return pd.DataFrame(
+                {
+                    "bucket_start": vc.index.to_numpy("int64"),
+                    "n_docs": vc.to_numpy("int64"),
+                }
+            )
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_ranges, schema=out_schema
+        )
+        return local.groupBy("bucket_start").agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+
+    def facet_pivot_stored(
+        self,
+        query: str,
+        by_a: str,
+        by_b: str,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr facet.pivot (two-level drill-down counts) over two
+        stored doc-store columns: matching-doc counts per
+        (a, b) value pair. Shard-local like the other stored facets —
+        the only shuffled rows are <= shards x |a|x|b| tiny partial
+        counts. Docs with NULL in either column drop (Solr pivots
+        skip missing values). -> (<by_a>, <by_b>, n_docs)."""
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField(by_a, T.StringType(), True),
+                T.StructField(by_b, T.StringType(), True),
+                T.StructField("n_docs", T.LongType(), False),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_pivot(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame(
+                {by_a: [], by_b: [], "n_docs": []}
+            ).astype({by_a: "object", by_b: "object", "n_docs": "int64"})
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}",
+                columns=["doc_id", by_a, by_b],
+            ).to_pandas()
+            hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
+            hit = hit.dropna(subset=[by_a, by_b])
+            if not len(hit):
+                return empty
+            vc = (
+                hit.groupby([by_a, by_b], sort=False)
+                .size()
+                .reset_index(name="n_docs")
+            )
+            vc[by_a] = vc[by_a].astype(str)
+            vc[by_b] = vc[by_b].astype(str)
+            return vc
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_pivot, schema=out_schema
+        )
+        return local.groupBy(by_a, by_b).agg(
+            F.sum("n_docs").alias("n_docs")
+        )
 
     def highlight_topk(
         self,

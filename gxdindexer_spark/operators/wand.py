@@ -90,13 +90,15 @@ def _topk_from_scores(
     return doc_ids[order], scores[order]
 
 
-def taat(
+def match_scores(
     postings: pd.DataFrame,
     spec: QuerySpec,
-    k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact vectorized term-at-a-time scoring (with boolean clause
-    filtering); returns top-k arrays."""
+    filtering); returns (doc_ids, scores) for EVERY matching doc —
+    the shared scoring core for ``taat`` (which top-k's it) and for
+    group/collapse serving (which needs the full per-shard match set
+    to pick per-group heads before any truncation)."""
     # decode every relevant posting row ONCE, keyed (field, term_id) —
     # must_not terms carry no weight but still need their doc sets
     decoded: dict[tuple[str, int], tuple] = {}
@@ -146,8 +148,16 @@ def taat(
         xdocs = [decoded[m][0] for m in spec.must_not if m in decoded]
         if xdocs:
             keep &= ~np.isin(uniq, np.concatenate(xdocs))
-    uniq, scores = uniq[keep], scores[keep]
-    return _topk_from_scores(uniq, scores, k)
+    return uniq[keep], scores[keep]
+
+
+def taat(
+    postings: pd.DataFrame,
+    spec: QuerySpec,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact term-at-a-time top-k (``match_scores`` + selection)."""
+    return _topk_from_scores(*match_scores(postings, spec), k)
 
 
 def _sloppy_pf(pos_lists: list[np.ndarray], slop: int) -> float:

@@ -1,0 +1,229 @@
+"""Grouped retrieval (Solr group/collapse) and range/pivot facets.
+
+The reference's consumers collapse GXD results per marker and drill
+down with Solr facet.range / facet.pivot; here those serve shard-local
+off the doc store (query.grouped_topk / facet_ranges_stored /
+facet_pivot_stored). Each test checks against a pure-python oracle
+over the full corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gxdindexer_spark.functions import analyze, bm25
+from gxdindexer_spark.operators.index_build import IndexBuilder
+from gxdindexer_spark.operators.query import IndexQueryEngine
+from gxdindexer_spark.sources.synth import generate_corpus
+from gxdindexer_spark.sources.tables import prepare_docs
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx_grp"))
+    corpus = generate_corpus(spark, N_DOCS, seed=11, partitions=4)
+    docs = prepare_docs(corpus, docs_per_shard=50, partitions=4)
+    # numeric stored attribute for range facets (the entry contract's
+    # n_chars rank column); extra columns flow into the doc store
+    docs = docs.withColumn("n_chars", F.length("content")).cache()
+    IndexBuilder(docs_per_shard=50, salt_range=64, block_size=16).build(
+        docs, idx, resume=False
+    )
+    pdocs = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    return idx, pdocs
+
+
+def _oracle_scores(pdocs: pd.DataFrame, query: str) -> dict[int, float]:
+    """Full multi-field weighted BM25 match scores (every match)."""
+    weights = bm25.field_weights()
+    fields = {"content": "code", "path": "path", "lang": "lang"}
+    total: dict[int, float] = {}
+    for field, tokenizer in fields.items():
+        toks_series = analyze.TOKENIZERS[tokenizer](pdocs[field])
+        docs_tokens = {
+            int(d): t
+            for d, t in zip(pdocs["doc_id"], toks_series)
+            if len(t)
+        }
+        dl_series = analyze.original_token_counts(pdocs[field], tokenizer)
+        dls = {
+            int(d): int(n)
+            for d, n in zip(pdocs["doc_id"], dl_series)
+            if d in docs_tokens
+        }
+        q = analyze.tokenize_query(query, tokenizer)
+        for doc, s in bm25.brute_force_topk(
+            docs_tokens, q, k=len(pdocs), dls=dls
+        ):
+            total[doc] = total.get(doc, 0.0) + weights[field] * s
+    return total
+
+
+def _oracle_grouped(pdocs, query, by, k_groups, k_per_group):
+    """-> [(grp_rank, group, doc_id, score, rn)] per the Solr
+    grouping contract grouped_topk documents."""
+    scores = _oracle_scores(pdocs, query)
+    grp_of = dict(zip(pdocs["doc_id"].astype(int), pdocs[by]))
+    per_group: dict = {}
+    for d, s in scores.items():
+        g = grp_of.get(d)
+        if g is not None:
+            per_group.setdefault(g, []).append((d, s))
+    heads = []
+    for g, docs in per_group.items():
+        docs.sort(key=lambda t: (-t[1], t[0]))
+        heads.append((g, docs[0][1], docs[0][0]))
+    heads.sort(key=lambda t: (-t[1], t[2]))
+    out = []
+    for grp_rank, (g, _s, _d) in enumerate(heads[:k_groups], 1):
+        for rn, (d, s) in enumerate(per_group[g][:k_per_group], 1):
+            out.append((grp_rank, g, d, s, rn))
+    return out
+
+
+@pytest.mark.parametrize("k_groups,k_per_group", [(4, 1), (3, 3), (50, 2)])
+def test_grouped_topk_matches_oracle(built, spark, k_groups, k_per_group):
+    """Both the single-pass collapse (k_per_group=1) and the two-pass
+    grouped shape return exactly the oracle's groups, group order, doc
+    membership and ranks; scores match to float tolerance."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    got = (
+        eng.grouped_topk(q, by="lang", k_groups=k_groups,
+                         k_per_group=k_per_group)
+        .collect()
+    )
+    want = _oracle_grouped(pdocs, q, "lang", k_groups, k_per_group)
+    assert [
+        (r["grp_rank"], r["lang"], r["doc_id"], r["rn"]) for r in got
+    ] == [(g, lang, d, rn) for g, lang, d, _s, rn in want]
+    for r, (_g, _l, _d, s, _rn) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+    # output arrives ordered (grp_rank, rn)
+    assert [(r["grp_rank"], r["rn"]) for r in got] == sorted(
+        (r["grp_rank"], r["rn"]) for r in got
+    )
+
+
+def test_grouped_topk_collapse_equals_grouped_limit1(built, spark):
+    """Pure collapse is literally grouped with group.limit=1 — the
+    one-pass fast path must agree with the general path."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "mergeShardStats scan"
+    one = eng.grouped_topk(q, by="lang", k_groups=6, k_per_group=1).collect()
+    assert one  # query must actually match
+    # degenerate two-pass: same k, but forced through pass-2 machinery
+    two = eng.grouped_topk(q, by="lang", k_groups=6, k_per_group=2).collect()
+    heads_two = [r for r in two if r["rn"] == 1]
+    assert [
+        (r["grp_rank"], r["lang"], r["doc_id"]) for r in one
+    ] == [(r["grp_rank"], r["lang"], r["doc_id"]) for r in heads_two]
+
+
+def test_facet_ranges_stored_matches_oracle(built, spark):
+    """Range facet counts bucket the numeric stored column with
+    fixed-width buckets; out-of-range and NULL drop (Solr default)."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "merge* if"
+    match = {
+        r["doc_id"]
+        for r in eng.matching_docs(q, fields=["content"]).collect()
+    }
+    assert match
+    start, end, gap = 0, 400, 50
+    nc = dict(zip(pdocs["doc_id"].astype(int), pdocs["n_chars"]))
+    expect: dict[int, int] = {}
+    for d in match:
+        v = nc[d]
+        if start <= v < end:
+            b = start + ((v - start) // gap) * gap
+            expect[b] = expect.get(b, 0) + 1
+    got = {
+        r["bucket_start"]: r["n_docs"]
+        for r in eng.facet_ranges_stored(
+            q, by="n_chars", start=start, end=end, gap=gap,
+            fields=["content"],
+        ).collect()
+    }
+    assert got == expect
+    # some docs must actually fall outside [start, end) for the drop
+    # semantics to be exercised
+    assert any(nc[d] >= end for d in match)
+
+
+def test_facet_pivot_stored_matches_oracle(built, spark):
+    """Two-level pivot counts (a, b) equal the python oracle and the
+    compositional check: summing the pivot over b reproduces the
+    single-field value facet."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "merge* if"
+    match = {
+        r["doc_id"]
+        for r in eng.matching_docs(q, fields=["content"]).collect()
+    }
+    lang_of = dict(zip(pdocs["doc_id"].astype(int), pdocs["lang"]))
+    repo_of = dict(zip(pdocs["doc_id"].astype(int), pdocs["repo"]))
+    expect: dict = {}
+    for d in match:
+        k = (lang_of[d], repo_of[d])
+        expect[k] = expect.get(k, 0) + 1
+    got = {
+        (r["lang"], r["repo"]): r["n_docs"]
+        for r in eng.facet_pivot_stored(
+            q, by_a="lang", by_b="repo", fields=["content"]
+        ).collect()
+    }
+    assert got == expect and got
+    rollup: dict = {}
+    for (a, _b), n in got.items():
+        rollup[a] = rollup.get(a, 0) + n
+    value = {
+        r["lang"]: r["n_docs"]
+        for r in eng.facet_counts_stored(
+            q, by="lang", fields=["content"]
+        ).collect()
+    }
+    assert rollup == value
+
+
+def test_grouped_and_facet_plans_scan_postings_only(built, spark):
+    """Plan shape: like facet_counts_stored, the grouped/range/pivot
+    paths read ONLY the postings through Spark — the doc store is a
+    direct per-shard pyarrow read inside the worker, never a Spark
+    scan or exchange."""
+    import contextlib
+    import io
+    import re
+
+    idx, _pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    for df in (
+        eng.grouped_topk("merge* if", by="lang", k_groups=3),
+        eng.facet_ranges_stored(
+            "merge* if", by="n_chars", start=0, end=400, gap=50
+        ),
+        eng.facet_pivot_stored("merge* if", by_a="lang", by_b="repo"),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # formatted explain emits one "(n) Scan parquet" detail header
+        # per scan node (the tree line "Scan parquet  (n)" would
+        # double-count against it)
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+        assert len(scans) == 1, plan
+        locations = [
+            ln for ln in plan.splitlines() if "Location" in ln
+        ]
+        assert locations and all("postings" in ln for ln in locations), plan
