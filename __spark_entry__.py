@@ -934,6 +934,30 @@ def bm25_boolean(spark, sf_dir):
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+FILTER_WHERE = "n_chars < 300 and lang == 'en'"  # Solr fq analog
+
+
+def bm25_boolean_filtered(spark, sf_dir):
+    """Restricted-match retrieval, two restriction mechanisms in one
+    entry (fold: 50-cap): Lucene boolean clauses (+must / -must_not,
+    restriction by INDEXED terms) and filtered retrieval
+    (topk(where=...), restriction by STORED attributes — the Solr fq
+    contract: the predicate pushes into the shard-local doc-store
+    read as parquet row-group filters and never touches scoring
+    stats)."""
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    boo = bm25_boolean(spark, sf_dir).select(
+        F.lit("boolean").alias("cfg"), "doc_id", "score"
+    )
+    flt = eng.topk(BM25_QUERY, k=BM25_K, where=FILTER_WHERE).select(
+        F.lit("filtered").alias("cfg"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    return boo.unionByName(flt)
+
+
 def match_count_or(spark, sf_dir):
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
@@ -1250,7 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": bm25_synonyms,
         "bm25_taat_wand": bm25_taat_wand,
         "bm25_after_delete": bm25_after_delete,
-        "bm25_boolean": bm25_boolean,
+        "bm25_boolean_filtered": bm25_boolean_filtered,
         "bm25_phrase_modes": bm25_phrase_modes,
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_topk_hydrated": bm25_topk_hydrated,
@@ -2082,14 +2106,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY distance ASC, df DESC, term ASC
             LIMIT {SUGGEST_K}
         """,
-        "bm25_boolean": _bm25_sql(
+        "bm25_boolean_filtered": "SELECT 'boolean' AS cfg, * FROM ("
+        + _bm25_sql(
             _in_list(["table", "spark"]),
             bool_where=(
                 "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
                 "AND doc_id NOT IN "
                 "(SELECT doc_id FROM tf WHERE term = 'merge')"
             ),
-        ),
+        )
+        + ") UNION ALL SELECT 'filtered' AS cfg, * FROM ("
+        # fq semantics: score over the FULL corpus (df/avgdl
+        # untouched), restrict the scored set by the stored attrs
+        + _bm25_sql(
+            _in_list(BM25_TERMS),
+            bool_where=(
+                "WHERE doc_id IN (SELECT doc_id FROM documents "
+                "WHERE n_chars < 300 AND lang = 'en')"
+            ),
+        )
+        + ")",
         "bm25_topk_hydrated": f"""
             SELECT s.doc_id, s.score, d.text AS content
             FROM ({_bm25_sql(_in_list(BM25_TERMS), k=10)}) s

@@ -209,6 +209,12 @@ def main() -> int:
            lambda: eng.topk("sow~2 join", k=20, mode="taat").collect())
     _timed(timings, "bm25_boolean",
            lambda: eng.topk("+table -merge spark", k=20).collect())
+    # filtered retrieval (Solr fq): stored-attr predicate pushed into
+    # the shard-local doc-store read as parquet row-group filters
+    _timed(timings, "bm25_filtered",
+           lambda: eng.topk(
+               BM25_QUERIES[0], k=20, where=entrymod.FILTER_WHERE
+           ).collect())
     _timed(timings, "match_count_wildcard",
            lambda: eng.count_matches("st* join").collect())
     # sort-by-stored-field serving (R_BY_* contract): offset paging
@@ -319,6 +325,14 @@ def main() -> int:
            lambda: aidx.lsh_neardup_pairs_banded(
                threshold=0.3, bands=3, rows_per_band=2).count())
 
+    # mid-suite probe guards the 1-shot mutating block that follows:
+    # min-of-2 reps shield every query above from a noisy-neighbor
+    # burst, but builds/appends/deletes are deliberately 1-shot
+    # (re-running changes what's measured) — a burst here wrote 2-4x
+    # phantom times into two r5 artifacts while start/end probes read
+    # clean. Hot JVM by now, so the ref compares directly.
+    probe_mid = _reference_probe(spark)
+
     # ------------------------------------- incremental index maintenance
     # append ONE new shard: the commit must cost O(delta) — the
     # incremental finalize merges only the delta's dict partials
@@ -344,14 +358,19 @@ def main() -> int:
 
     probe_end = _reference_probe(spark)
     ratio_start = probe_start / PROBE_IDLE_REF
+    ratio_mid = probe_mid / PROBE_IDLE_REF
     ratio_end = probe_end / PROBE_IDLE_REF
-    # end probe: hot JVM, apples-to-apples with the idle ref. Start
-    # probe: cold-ish JVM — only trust a deviation there when loadavg
-    # agrees an external contender existed (see PROBE_IDLE_REF note).
-    contended = ratio_end > PROBE_TOLERANCE or (
-        ratio_start > PROBE_TOLERANCE and load_at_start > 1.0
+    # mid/end probes: hot JVM, apples-to-apples with the idle ref.
+    # Start probe: cold-ish JVM — only trust a deviation there when
+    # loadavg agrees an external contender existed (PROBE_IDLE_REF
+    # note). The probes bracket, not blanket: a burst confined to the
+    # min-of-2 query region can still hide between them.
+    contended = (
+        ratio_mid > PROBE_TOLERANCE
+        or ratio_end > PROBE_TOLERANCE
+        or (ratio_start > PROBE_TOLERANCE and load_at_start > 1.0)
     )
-    probe_ratio = max(ratio_start, ratio_end)
+    probe_ratio = max(ratio_start, ratio_mid, ratio_end)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
@@ -383,6 +402,7 @@ def main() -> int:
                 "loadavg_at_start": round(load_at_start, 2),
                 "loadavg_at_end": round(os.getloadavg()[0], 2),
                 "probe_start_sec": round(probe_start, 3),
+                "probe_mid_sec": round(probe_mid, 3),
                 "probe_end_sec": round(probe_end, 3),
                 "probe_idle_ref_sec": PROBE_IDLE_REF,
                 "probe_ratio": round(probe_ratio, 3),

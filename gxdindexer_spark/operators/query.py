@@ -84,6 +84,41 @@ def _dl_distance(a: str, b: str, cap: int | None = None) -> int:
     return d[la + 1][lb + 1]
 
 
+#: one comparison clause of a ``where=`` predicate: column, operator,
+#: and a quoted-string / int / float literal
+_WHERE_CLAUSE_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|!=|=|<|>)\s*"
+    r"(?:'([^']*)'|(-?\d+\.\d+)|(-?\d+))\s*$"
+)
+
+
+def _parse_where(where: str) -> list[tuple]:
+    """Restricted conjunctive predicate -> pyarrow parquet filter
+    tuples (``[("n_chars", "<", 300), ("lang", "==", "en")]``) — the
+    same filters shape ``pyarrow.parquet.read_table`` prunes row
+    groups with. Supported: ``col OP literal`` clauses joined by
+    ``and``; OP in  < <= > >= == = !=; literals are 'strings', ints,
+    floats. Raises on anything else rather than silently mis-parsing
+    (the wildcard-parser contract)."""
+    clauses = re.split(r"\s+[aA][nN][dD]\s+", where.strip())
+    out: list[tuple] = []
+    for c in clauses:
+        m = _WHERE_CLAUSE_RE.match(c)
+        if not m:
+            raise ValueError(
+                f"unsupported where clause {c!r} (need: col OP literal"
+                " joined by 'and'; OP in < <= > >= == != =)"
+            )
+        col, op, s_lit, f_lit, i_lit = m.groups()
+        val = (
+            s_lit
+            if s_lit is not None
+            else float(f_lit) if f_lit is not None else int(i_lit)
+        )
+        out.append((col, "==" if op == "=" else op, val))
+    return out
+
+
 def _empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Empty result with ``schema``, built JVM-side via range(0).
     ``createDataFrame([], schema)`` makes a 32-partition python RDD
@@ -779,14 +814,29 @@ class IndexQueryEngine:
         k: int = 10,
         fields: list[str] | None = None,
         mode: str = "wand",
+        where: str | None = None,
     ) -> DataFrame:
         """-> DataFrame(doc_id, score) of global top-k, deterministic.
         ``mode``: "wand" (block-max pruned), "taat" (exact full scan),
         or "auto" (stats-driven choice, ``choose_mode``) — all three
-        rank-identical."""
+        rank-identical.
+
+        ``where`` is the Solr ``fq`` analog — filtered retrieval: a
+        conjunctive predicate over STORED doc-store columns (e.g.
+        ``"n_chars < 300 and lang == 'en'"``) restricts the RESULT
+        set without touching scoring stats (fq never changes idf/
+        avgdl, unlike deleting docs). The parsed predicate pushes into
+        each shard worker's pyarrow doc-store read as parquet filters
+        (row-group statistics pruning), the worker masks its scored
+        matches by the surviving ids, and only then takes its local
+        top-k. Filtered retrieval forces the exact TAAT path: WAND's
+        pruning threshold assumes every high-upper-bound doc is a
+        candidate, which a post-score filter breaks."""
         spec = self.make_spec(query, fields)
         if not spec.term_weights:
             return _empty_df(self.spark, _HITS_SCHEMA)
+        if where is not None:
+            return self._topk_filtered(spec, k, where)
         postings = self._postings_for(spec)
         b_spec = self.spark.sparkContext.broadcast(spec)
         # boolean clauses need the full candidate doc sets -> exact TAAT
@@ -828,6 +878,50 @@ class IndexQueryEngine:
 
         local = postings.groupBy("shard").applyInPandas(
             shard_topk, schema=_HITS_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _topk_filtered(self, spec, k: int, where: str) -> DataFrame:
+        """Filtered-retrieval worker plan (see ``topk(where=)``)."""
+        flt = _parse_where(where)
+        store_cols = {f.name for f in self._doc_store_schema().fields}
+        for col, _op, _v in flt:
+            if col not in store_cols:
+                raise ValueError(
+                    f"where column {col!r} is not in the doc store "
+                    f"(has: {sorted(store_cols)})"
+                )
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_topk_filtered(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            ids, scores = wand_mod.match_scores(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            # parquet filters -> row-group stats pruning; only the
+            # doc_id column of surviving rows materializes
+            allowed = (
+                pq.read_table(
+                    f"{idx_dir}/docs/shard={shard}",
+                    columns=["doc_id"],
+                    filters=flt,
+                )["doc_id"].to_numpy()
+            )
+            keep = np.isin(ids, allowed)
+            ids, scores = ids[keep], scores[keep]
+            if not ids.size:
+                return empty
+            ids, scores = wand_mod._topk_from_scores(ids, scores, k)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_topk_filtered, schema=_HITS_SCHEMA
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1073,6 +1167,7 @@ class IndexQueryEngine:
         fields: list[str] | None = None,
         columns: tuple[str, ...] = (),
         after: tuple | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Match set ordered by a STORED doc-store column, paged — the
         reference's actual serving contract: every document carries
@@ -1100,6 +1195,11 @@ class IndexQueryEngine:
         predicate filters inside each shard worker before its local
         top-k. ``after`` and ``offset`` are mutually exclusive.
 
+        ``where`` (Solr fq, same contract as ``topk(where=)``)
+        restricts the match set by a stored-column predicate pushed
+        into the same shard-local pyarrow read as parquet filters —
+        applied BEFORE the cursor predicate and the local top-k.
+
         -> (doc_id, <by>, *columns), ordered by (<by> asc/desc,
         doc_id asc), rows offset..offset+k (or the k rows after the
         cursor).
@@ -1109,6 +1209,7 @@ class IndexQueryEngine:
                 "pass either offset= (shallow paging) or after= "
                 "(cursor paging), not both"
             )
+        flt = _parse_where(where) if where is not None else None
         spec = self.make_spec(query, fields)
         store_schema = {
             f.name: f.dataType for f in self._doc_store_schema().fields
@@ -1117,6 +1218,12 @@ class IndexQueryEngine:
             if c not in store_schema:
                 raise ValueError(
                     f"column {c!r} is not in the doc store "
+                    f"(has: {sorted(store_schema)})"
+                )
+        for col, _op, _v in flt or ():
+            if col not in store_schema:
+                raise ValueError(
+                    f"where column {col!r} is not in the doc store "
                     f"(has: {sorted(store_schema)})"
                 )
         out_schema = T.StructType(
@@ -1141,7 +1248,7 @@ class IndexQueryEngine:
                 return empty
             shard = int(key[0])
             store = pq.read_table(
-                f"{idx_dir}/docs/shard={shard}", columns=cols
+                f"{idx_dir}/docs/shard={shard}", columns=cols, filters=flt
             ).to_pandas()
             hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
             if after is not None and len(hit):

@@ -196,6 +196,76 @@ def test_facet_pivot_stored_matches_oracle(built, spark):
     assert rollup == value
 
 
+def test_where_parser():
+    from gxdindexer_spark.operators.query import _parse_where
+
+    assert _parse_where("n_chars < 300") == [("n_chars", "<", 300)]
+    assert _parse_where("a >= 1.5 and b == 'x' AND c != 2") == [
+        ("a", ">=", 1.5), ("b", "==", "x"), ("c", "!=", 2),
+    ]
+    # SQL-style single = normalizes
+    assert _parse_where("lang = 'en'") == [("lang", "==", "en")]
+    for bad in ("a < ", "a LIKE 'x%'", "a < 1 or b < 2", "1 < a",
+                "a in (1,2)"):
+        with pytest.raises(ValueError, match="unsupported where"):
+            _parse_where(bad)
+
+
+def test_topk_filtered_matches_oracle(built, spark):
+    """topk(where=) is the Solr fq contract: the result set restricts
+    to docs passing the stored-attribute predicate, but every
+    surviving doc keeps its UNfiltered score (fq never changes
+    idf/avgdl) and ranks exactly as the python oracle's
+    filter-then-topk."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    where = "n_chars < 2400 and lang == 'py'"
+    scores = _oracle_scores(pdocs, q)
+    nc = dict(zip(pdocs["doc_id"].astype(int), pdocs["n_chars"]))
+    lg = dict(zip(pdocs["doc_id"].astype(int), pdocs["lang"]))
+    keep = {
+        d: s for d, s in scores.items()
+        if nc[d] < 2400 and lg[d] == "py"
+    }
+    want = sorted(keep.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = eng.topk(q, k=10, where=where).collect()
+    assert want  # predicate must leave survivors
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+    # ... and those scores equal the unfiltered ranking's scores
+    full = {
+        r["doc_id"]: r["score"]
+        for r in eng.topk(q, k=len(pdocs)).collect()
+    }
+    assert all(
+        math.isclose(full[r["doc_id"]], r["score"], rel_tol=1e-12)
+        for r in got
+    )
+    # unknown column -> clear error
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.topk(q, k=5, where="nope < 3")
+
+
+def test_sorted_matches_filtered(built, spark):
+    """sorted_matches(where=) pages the RESTRICTED match set."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    match = {r["doc_id"] for r in eng.matching_docs(q).collect()}
+    nc = dict(zip(pdocs["doc_id"].astype(int), pdocs["n_chars"]))
+    survivors = sorted(
+        ((nc[d], d) for d in match if nc[d] < 2400),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert survivors and len(survivors) < len(match)
+    got = eng.sorted_matches(
+        q, by="n_chars", k=len(match), where="n_chars < 2400"
+    ).collect()
+    assert [(r["n_chars"], r["doc_id"]) for r in got] == survivors
+
+
 def test_grouped_and_facet_plans_scan_postings_only(built, spark):
     """Plan shape: like facet_counts_stored, the grouped/range/pivot
     paths read ONLY the postings through Spark — the doc store is a
