@@ -190,25 +190,40 @@ def highlight_topk_q(spark, sf_dir):
 FACET_QUERY = "st* join"
 
 
+_STATS_STACK = (
+    "stack(7, 'count', CAST(n_docs AS DOUBLE), "
+    "'missing', CAST(n_missing AS DOUBLE), "
+    "'min', `min`, 'max', `max`, 'sum', `sum`, "
+    "'mean', mean, 'stddev', stddev) AS (stat, stat_val)"
+)
+
+
 def facet_counts_q(spark, sf_dir):
-    """FOUR Solr facet/count shapes driver-checked in one entry
+    """SIX Solr facet/count/stats shapes driver-checked in one entry
     (fold: 50-cap): stored-field value facets (facet.field), numeric
     range facets (facet.range over the n_chars rank column), two-level
-    pivot facets (facet.pivot source x lang), and the bare OR match
-    count — the reference's GxdResultHasImageIndexer /
-    matrix-group-key patterns served straight off the index.
-    SHARD-LOCAL throughout: every facet attribute lives in the
-    per-shard doc store, so counts resolve inside the per-shard
-    scoring pass and only tiny count rows shuffle. Coerced to the
-    common (kind, key1, key2, n_docs) shape for the tagged union."""
+    pivot facets (facet.pivot source x lang), the bare OR match
+    count, and the StatsComponent (stats.field=n_chars) both
+    ungrouped and grouped by lang (stats.facet) — the reference's
+    GxdResultHasImageIndexer / matrix-group-key patterns served
+    straight off the index. SHARD-LOCAL throughout: every facet
+    attribute lives in the per-shard doc store, so counts and moment
+    partials resolve inside the per-shard scoring pass and only tiny
+    rows shuffle. Coerced to the common
+    (kind, key1, key2, n_docs, stat_val) shape for the tagged union
+    (stats rows unpivot the wide moments row via one stack() pass —
+    no recompute per stat)."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
     nul = F.lit(None).cast("string")
+    nod = F.lit(None).cast("double").alias("stat_val")
+    nol = F.lit(None).cast("long").alias("n_docs")
     val = eng.facet_counts_stored(FACET_QUERY, by="source").select(
         F.lit("value").alias("kind"),
         F.col("source").alias("key1"),
         nul.alias("key2"),
         "n_docs",
+        nod,
     )
     rng = eng.facet_ranges_stored(
         FACET_QUERY, by="n_chars", start=0, end=600, gap=100
@@ -217,20 +232,44 @@ def facet_counts_q(spark, sf_dir):
         F.col("bucket_start").cast("string").alias("key1"),
         nul.alias("key2"),
         "n_docs",
+        nod,
     )
     piv = eng.facet_pivot_stored(FACET_QUERY, by_a="source", by_b="lang").select(
         F.lit("pivot").alias("kind"),
         F.col("source").alias("key1"),
         F.col("lang").alias("key2"),
         "n_docs",
+        nod,
     )
     cnt = eng.count_matches(FACET_QUERY).select(
         F.lit("match_count").alias("kind"),
         nul.alias("key1"),
         nul.alias("key2"),
         F.col("n_matches").alias("n_docs"),
+        nod,
     )
-    return val.unionByName(rng).unionByName(piv).unionByName(cnt)
+    st = eng.facet_stats_stored(FACET_QUERY, on="n_chars").select(
+        F.expr(_STATS_STACK)
+    ).select(
+        F.lit("stats").alias("kind"),
+        F.col("stat").alias("key1"),
+        nul.alias("key2"),
+        nol,
+        F.round("stat_val", 4).alias("stat_val"),
+    )
+    stg = eng.facet_stats_stored(FACET_QUERY, on="n_chars", by="lang").select(
+        "lang", F.expr(_STATS_STACK)
+    ).select(
+        F.lit("stats_by").alias("kind"),
+        F.col("lang").alias("key1"),
+        F.col("stat").alias("key2"),
+        nol,
+        F.round("stat_val", 4).alias("stat_val"),
+    )
+    return (
+        val.unionByName(rng).unionByName(piv).unionByName(cnt)
+        .unionByName(st).unionByName(stg)
+    )
 
 
 GROUPED_CFGS = {"8x1": (8, 1), "4x3": (4, 3)}
@@ -294,18 +333,27 @@ SORT_BY_FIELD, SORT_K, SORT_OFFSET = "n_chars", 15, 5
 
 
 def bm25_sorted_by_field(spark, sf_dir):
-    """Sort-by-stored-field serving (VERDICT r4 #3): the match set of
+    """Sort-by-stored-field serving AND bulk export in one entry
+    (fold: 50-cap). cfg 'paged' (VERDICT r4 #3): the match set of
     BM25_QUERY ordered by the STORED n_chars rank column (desc, id-asc
     tiebreak), rows SORT_OFFSET..SORT_OFFSET+SORT_K — the reference's
     R_BY_* contract (Solr sorts/pages on precomputed doc-store rank
-    fields, GxdResultIndexer.java:1234-1239). Per-shard workers emit
-    only their local top-(offset+k) (query.sorted_matches)."""
+    fields, GxdResultIndexer.java:1234-1239); per-shard workers emit
+    only their local top-(offset+k) (query.sorted_matches). cfg
+    'export' is the Solr /export handler analog: the ENTIRE match
+    set hydrated shard-locally (no match-set join shuffle) and
+    globally range-sorted — the bulk-extract path a training-data
+    pipeline feeds from (query.export_matches)."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
-    return eng.sorted_matches(
+    paged = eng.sorted_matches(
         BM25_QUERY, by=SORT_BY_FIELD, k=SORT_K, offset=SORT_OFFSET,
         ascending=False,
-    )
+    ).select(F.lit("paged").alias("cfg"), "doc_id", SORT_BY_FIELD)
+    full = eng.export_matches(
+        BM25_QUERY, by=SORT_BY_FIELD, ascending=True
+    ).select(F.lit("export").alias("cfg"), "doc_id", SORT_BY_FIELD)
+    return paged.unionByName(full)
 
 
 BATCH_QUERIES = {
@@ -2062,10 +2110,14 @@ def oracle_sql() -> dict[str, str]:
             {_TOKS_CTE},
             m AS (SELECT DISTINCT doc_id FROM toks
                   WHERE {_in_list(BM25_TERMS)})
-            SELECT d.doc_id, d.n_chars
+            SELECT 'paged' AS cfg, * FROM (
+              SELECT d.doc_id, d.n_chars
+              FROM m JOIN documents d USING (doc_id)
+              ORDER BY d.n_chars DESC, d.doc_id ASC
+              LIMIT {SORT_K} OFFSET {SORT_OFFSET})
+            UNION ALL
+            SELECT 'export', d.doc_id, d.n_chars
             FROM m JOIN documents d USING (doc_id)
-            ORDER BY d.n_chars DESC, d.doc_id ASC
-            LIMIT {SORT_K} OFFSET {SORT_OFFSET}
         """,
         "bm25_after_delete": _bm25_sql(
             _in_list(BM25_TERMS),
@@ -2218,18 +2270,51 @@ def oracle_sql() -> dict[str, str]:
                   WHERE term LIKE 'st%' OR term = 'join'),
             j AS (SELECT d.* FROM m JOIN documents d USING (doc_id))
             SELECT 'value' AS kind, source AS key1,
-                   NULL::VARCHAR AS key2, count(*)::BIGINT AS n_docs
+                   NULL::VARCHAR AS key2, count(*)::BIGINT AS n_docs,
+                   NULL::DOUBLE AS stat_val
             FROM j GROUP BY source
             UNION ALL
             SELECT 'range', CAST((n_chars // 100) * 100 AS VARCHAR),
-                   NULL, count(*)::BIGINT
+                   NULL, count(*)::BIGINT, NULL::DOUBLE
             FROM j WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 2
             UNION ALL
-            SELECT 'pivot', source, lang, count(*)::BIGINT
+            SELECT 'pivot', source, lang, count(*)::BIGINT, NULL::DOUBLE
             FROM j WHERE source IS NOT NULL AND lang IS NOT NULL
             GROUP BY 2, 3
             UNION ALL
-            SELECT 'match_count', NULL, NULL, count(*)::BIGINT FROM m
+            SELECT 'match_count', NULL, NULL, count(*)::BIGINT,
+                   NULL::DOUBLE FROM m
+            UNION ALL
+            SELECT 'stats', u.k, NULL, NULL::BIGINT, round(u.v, 4)
+            FROM (
+              SELECT unnest(['count','missing','min','max','sum',
+                             'mean','stddev']) AS k,
+                     unnest([a.c, a.ms, a.mn, a.mx, a.s, a.av, a.sd])
+                       AS v
+              FROM (SELECT count(n_chars)::DOUBLE AS c,
+                           (count(*) - count(n_chars))::DOUBLE AS ms,
+                           min(n_chars)::DOUBLE AS mn,
+                           max(n_chars)::DOUBLE AS mx,
+                           sum(n_chars)::DOUBLE AS s,
+                           avg(n_chars) AS av,
+                           stddev_samp(n_chars) AS sd
+                    FROM j) a) u
+            UNION ALL
+            SELECT 'stats_by', u.lang, u.k, NULL::BIGINT, round(u.v, 4)
+            FROM (
+              SELECT a.lang,
+                     unnest(['count','missing','min','max','sum',
+                             'mean','stddev']) AS k,
+                     unnest([a.c, a.ms, a.mn, a.mx, a.s, a.av, a.sd])
+                       AS v
+              FROM (SELECT lang, count(n_chars)::DOUBLE AS c,
+                           (count(*) - count(n_chars))::DOUBLE AS ms,
+                           min(n_chars)::DOUBLE AS mn,
+                           max(n_chars)::DOUBLE AS mx,
+                           sum(n_chars)::DOUBLE AS s,
+                           avg(n_chars) AS av,
+                           stddev_samp(n_chars) AS sd
+                    FROM j WHERE lang IS NOT NULL GROUP BY lang) a) u
         """,
         "profile_rollup_8way": _profile_rollup_sql(),
         "dedup_fingerprint": f"""

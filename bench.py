@@ -279,6 +279,14 @@ def main() -> int:
     _timed(timings, "facet_pivot",
            lambda: eng.facet_pivot_stored(
                "st* join", by_a="source", by_b="lang").collect())
+    # StatsComponent: one scatter-gather of per-shard moment partials
+    _timed(timings, "facet_stats",
+           lambda: eng.facet_stats_stored(
+               "st* join", on="n_chars", by="lang").collect())
+    # /export: full match set, shard-local hydrate + global range sort
+    _timed(timings, "export_matches",
+           lambda: eng.export_matches(
+               BM25_QUERIES[0], by="n_chars").count())
     # Solr result grouping: single-pass collapse and two-pass grouped
     _timed(timings, "bm25_collapse",
            lambda: eng.grouped_topk(

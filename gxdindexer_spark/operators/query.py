@@ -1277,6 +1277,78 @@ class IndexQueryEngine:
             out = out.offset(offset)
         return out.limit(k)
 
+    def export_matches(
+        self,
+        query: str,
+        by: str,
+        columns: tuple[str, ...] = (),
+        ascending: bool = True,
+        fields: list[str] | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Solr `/export` handler analog: the ENTIRE match set,
+        hydrated with stored columns and globally sorted by ``by`` —
+        the bulk-extract contract (Solr streaming expressions /
+        export) as opposed to ``sorted_matches``'s paged serving
+        contract. Use this to feed a downstream pipeline (the
+        training-data-extraction case); write the result with
+        ``df.write.parquet(...)``.
+
+        Scale shape: hydration stays SHARD-LOCAL — each shard worker
+        masks its own doc-store partition (pyarrow, column-pruned,
+        ``where`` pushed as parquet row-group filters) by its own
+        match set and emits the full matched rows, so there is NO
+        match-set join shuffle; the one unavoidable shuffle is the
+        final global sort, which Spark runs as a range-partitioned
+        distributed sort (sampled bounds, no single-reducer
+        bottleneck). Contrast: ``sorted_matches`` truncates to a
+        local top-(offset+k) per shard BEFORE the gather — right for
+        serving a page, wrong for exporting everything.
+
+        -> (doc_id, <by>, *columns), ordered (<by> asc/desc,
+        doc_id asc), ALL matching rows."""
+        flt = _parse_where(where) if where is not None else None
+        spec = self.make_spec(query, fields)
+        store_schema = {
+            f.name: f.dataType for f in self._doc_store_schema().fields
+        }
+        for c in (by, *columns, *[c for c, _o, _v in flt or ()]):
+            if c not in store_schema:
+                raise ValueError(
+                    f"column {c!r} is not in the doc store "
+                    f"(has: {sorted(store_schema)})"
+                )
+        out_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False)]
+            + [T.StructField(c, store_schema[c], True) for c in (by, *columns)]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+        cols = ["doc_id", by, *[c for c in columns if c != by]]
+
+        def shard_export(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            empty = pd.DataFrame({c: [] for c in cols}).astype(
+                {"doc_id": "int64"}
+            )
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=cols, filters=flt
+            ).to_pandas()
+            return store[np.isin(store["doc_id"].to_numpy(), ids)][cols]
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_export, schema=out_schema
+        )
+        order = F.asc(by) if ascending else F.desc(by)
+        return local.orderBy(order, F.asc("doc_id"))
+
     def _doc_store_schema(self) -> T.StructType:
         """Doc-store schema, read once per engine (footer-only)."""
         if not hasattr(self, "_docs_schema"):
@@ -1657,6 +1729,150 @@ class IndexQueryEngine:
         )
         return local.groupBy(by_a, by_b).agg(
             F.sum("n_docs").alias("n_docs")
+        )
+
+    def facet_stats_stored(
+        self,
+        query: str,
+        on: str,
+        by: str | None = None,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr StatsComponent (stats=true&stats.field=<on>) over a
+        NUMERIC stored doc-store column, optionally grouped by a
+        second stored column (stats.facet): count / missing / min /
+        max / sum / mean / sample-stddev of ``on`` across the match
+        set. The reference serves these rollups by re-querying Solr
+        per facet value (GxdResultIndexer.java matrix counts); here
+        one scatter-gather answers all of them.
+
+        Scale shape — the moment-sketch pattern: each shard worker
+        reduces ITS matches x ITS doc-store partition to one
+        (n, missing, sum, sumsq, min, max) partial per group, so the
+        gather shuffle carries <= shards x |groups| tiny rows no
+        matter how large the match set; mean/stddev derive from the
+        merged moments JVM-side (stddev via the sum-of-squares
+        identity, clamped at 0 against fp cancellation — fine here
+        because values span ~4 decimal digits, losing <2 of the ~16
+        double digits).
+
+        -> ([<by>,] n_docs, n_missing, min, max, sum, mean, stddev);
+        one row per group (or one row total). n_docs counts matches
+        with ``on`` NON-null; n_missing the rest (Solr's split).
+        Groups with a NULL ``by`` value drop (Solr facets skip
+        missing); mean/stddev are NULL when n_docs is 0 / < 2.
+        """
+        spec = self.make_spec(query, fields)
+        gcols = [by] if by else []
+        out_fields = [T.StructField(by, T.StringType(), True)] if by else []
+        out_schema = T.StructType(
+            out_fields
+            + [
+                T.StructField("n_docs", T.LongType(), False),
+                T.StructField("n_missing", T.LongType(), False),
+                T.StructField("min", T.DoubleType(), True),
+                T.StructField("max", T.DoubleType(), True),
+                T.StructField("sum", T.DoubleType(), True),
+                T.StructField("mean", T.DoubleType(), True),
+                T.StructField("stddev", T.DoubleType(), True),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        part_schema = T.StructType(
+            out_fields
+            + [
+                T.StructField("n", T.LongType(), False),
+                T.StructField("missing", T.LongType(), False),
+                T.StructField("vsum", T.DoubleType(), True),
+                T.StructField("vsumsq", T.DoubleType(), True),
+                T.StructField("vmin", T.DoubleType(), True),
+                T.StructField("vmax", T.DoubleType(), True),
+            ]
+        )
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_stats(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            names = [f.name for f in part_schema.fields]
+            empty = pd.DataFrame({c: [] for c in names}).astype(
+                {"n": "int64", "missing": "int64"}
+            )
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}",
+                columns=["doc_id", on, *gcols],
+            ).to_pandas()
+            hit = store[np.isin(store["doc_id"].to_numpy(), ids)]
+            if by:
+                hit = hit[hit[by].notna()]
+            if not len(hit):
+                return empty
+
+            def partial(g: pd.DataFrame) -> pd.Series:
+                v = g[on].dropna().astype("float64")
+                return pd.Series(
+                    {
+                        "n": len(v),
+                        "missing": len(g) - len(v),
+                        "vsum": v.sum() if len(v) else np.nan,
+                        "vsumsq": (v * v).sum() if len(v) else np.nan,
+                        "vmin": v.min() if len(v) else np.nan,
+                        "vmax": v.max() if len(v) else np.nan,
+                    }
+                )
+
+            if by:
+                hit = hit.assign(**{by: hit[by].astype(str)})
+                out = (
+                    hit.groupby(by, sort=False)
+                    .apply(partial, include_groups=False)
+                    .reset_index()
+                )
+            else:
+                out = partial(hit).to_frame().T
+            out = out.astype(
+                {
+                    "n": "int64",
+                    "missing": "int64",
+                    "vsum": "float64",
+                    "vsumsq": "float64",
+                    "vmin": "float64",
+                    "vmax": "float64",
+                }
+            )
+            # NaN float cells cross Arrow as nulls, which the JVM-side
+            # min/sum aggs then ignore — exactly the merge we want
+            return out[names]
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_stats, schema=part_schema
+        )
+        merged = local.groupBy(*gcols).agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("missing").alias("n_missing"),
+            F.min("vmin").alias("min"),
+            F.max("vmax").alias("max"),
+            F.sum("vsum").alias("sum"),
+            F.sum("vsumsq").alias("sumsq"),
+        )
+        n, s, sq = F.col("n_docs"), F.col("sum"), F.col("sumsq")
+        mean = F.when(n > 0, s / n)
+        var = F.greatest(F.lit(0.0), (sq - s * s / n) / (n - 1))
+        return merged.select(
+            *gcols,
+            "n_docs",
+            "n_missing",
+            "min",
+            "max",
+            "sum",
+            mean.alias("mean"),
+            F.when(n >= 2, F.sqrt(var)).alias("stddev"),
         )
 
     def highlight_topk(

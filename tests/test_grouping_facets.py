@@ -30,8 +30,17 @@ def built(spark, tmp_path_factory):
     corpus = generate_corpus(spark, N_DOCS, seed=11, partitions=4)
     docs = prepare_docs(corpus, docs_per_shard=50, partitions=4)
     # numeric stored attribute for range facets (the entry contract's
-    # n_chars rank column); extra columns flow into the doc store
-    docs = docs.withColumn("n_chars", F.length("content")).cache()
+    # n_chars rank column); extra columns flow into the doc store.
+    # opt_val is deliberately NULL for doc_id % 7 == 0 to exercise the
+    # StatsComponent missing-count split.
+    docs = (
+        docs.withColumn("n_chars", F.length("content"))
+        .withColumn(
+            "opt_val",
+            F.when(F.col("doc_id") % 7 != 0, F.col("doc_id") * 3),
+        )
+        .cache()
+    )
     IndexBuilder(docs_per_shard=50, salt_range=64, block_size=16).build(
         docs, idx, resume=False
     )
@@ -264,6 +273,87 @@ def test_sorted_matches_filtered(built, spark):
         q, by="n_chars", k=len(match), where="n_chars < 2400"
     ).collect()
     assert [(r["n_chars"], r["doc_id"]) for r in got] == survivors
+
+
+def _match_subset(pdocs, q):
+    match = set(_oracle_scores(pdocs, q))
+    return pdocs[pdocs["doc_id"].astype(int).isin(match)]
+
+
+def test_facet_stats_matches_oracle(built, spark):
+    """StatsComponent (stats.field) ungrouped: merged shard moments
+    reproduce the exact match-set stats."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    sub = _match_subset(pdocs, q)
+    v = sub["n_chars"].astype(float)
+    rows = eng.facet_stats_stored(q, on="n_chars").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == len(v) and r["n_missing"] == 0
+    assert r["min"] == v.min() and r["max"] == v.max()
+    assert math.isclose(r["sum"], v.sum(), rel_tol=1e-12)
+    assert math.isclose(r["mean"], v.mean(), rel_tol=1e-12)
+    assert math.isclose(r["stddev"], v.std(ddof=1), rel_tol=1e-9)
+
+
+def test_facet_stats_grouped_and_missing(built, spark):
+    """stats.facet grouping + the missing-count split over a column
+    with NULLs (opt_val is NULL for doc_id % 7 == 0)."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    sub = _match_subset(pdocs, q)
+    got = {
+        r["lang"]: r
+        for r in eng.facet_stats_stored(q, on="opt_val", by="lang").collect()
+    }
+    want_groups = sub[sub["lang"].notna()].groupby("lang")
+    assert set(got) == set(want_groups.groups)
+    for lang, g in want_groups:
+        v = g["opt_val"].dropna().astype(float)
+        r = got[lang]
+        assert r["n_docs"] == len(v)
+        assert r["n_missing"] == len(g) - len(v)
+        if len(v):
+            assert r["min"] == v.min() and r["max"] == v.max()
+            assert math.isclose(r["sum"], v.sum(), rel_tol=1e-12)
+            assert math.isclose(r["mean"], v.mean(), rel_tol=1e-12)
+        else:
+            assert r["min"] is None and r["mean"] is None
+        if len(v) >= 2:
+            assert math.isclose(r["stddev"], v.std(ddof=1), rel_tol=1e-9)
+        else:
+            assert r["stddev"] is None
+    # the corpus must actually exercise the missing path
+    assert any(r["n_missing"] > 0 for r in got.values())
+
+
+def test_export_matches_full_sorted(built, spark):
+    """export_matches returns the ENTIRE match set hydrated and
+    globally ordered — both directions — and where= restricts it."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    sub = _match_subset(pdocs, q)
+    want = [
+        (int(r.doc_id), int(r.n_chars), r.lang)
+        for r in sub.sort_values(["n_chars", "doc_id"]).itertuples()
+    ]
+    got = eng.export_matches(q, by="n_chars", columns=("lang",)).collect()
+    assert [(r["doc_id"], r["n_chars"], r["lang"]) for r in got] == want
+    desc = eng.export_matches(q, by="n_chars", ascending=False).collect()
+    assert [r["doc_id"] for r in desc] == [
+        d for d, _n, _l in sorted(want, key=lambda t: (-t[1], t[0]))
+    ]
+    flt = eng.export_matches(q, by="n_chars", where="n_chars < 2400").collect()
+    assert [r["doc_id"] for r in flt] == [
+        d for d, n, _l in want if n < 2400
+    ]
+    assert len(flt) < len(want)
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.export_matches(q, by="nope")
 
 
 def test_grouped_and_facet_plans_scan_postings_only(built, spark):
