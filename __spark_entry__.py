@@ -199,12 +199,14 @@ _STATS_STACK = (
 
 
 def facet_counts_q(spark, sf_dir):
-    """SIX Solr facet/count/stats shapes driver-checked in one entry
+    """SEVEN Solr facet/count/stats shapes driver-checked in one entry
     (fold: 50-cap): stored-field value facets (facet.field), numeric
     range facets (facet.range over the n_chars rank column), two-level
     pivot facets (facet.pivot source x lang), the bare OR match
-    count, and the StatsComponent (stats.field=n_chars) both
-    ungrouped and grouped by lang (stats.facet) — the reference's
+    count, the StatsComponent (stats.field=n_chars) both
+    ungrouped and grouped by lang (stats.facet), and EXACT
+    percentiles p50/p90/p99 via the distributed value histogram
+    (query.facet_percentiles_stored) — the reference's
     GxdResultHasImageIndexer / matrix-group-key patterns served
     straight off the index. SHARD-LOCAL throughout: every facet
     attribute lives in the per-shard doc store, so counts and moment
@@ -266,9 +268,20 @@ def facet_counts_q(spark, sf_dir):
         nol,
         F.round("stat_val", 4).alias("stat_val"),
     )
+    pct = eng.facet_percentiles_stored(
+        FACET_QUERY, on="n_chars", qs=(0.5, 0.9, 0.99)
+    ).select(
+        F.lit("pctl").alias("kind"),
+        F.concat(
+            F.lit("p"), F.round(F.col("q") * 100).cast("int").cast("string")
+        ).alias("key1"),
+        nul.alias("key2"),
+        nol,
+        F.round("value", 4).alias("stat_val"),
+    )
     return (
         val.unionByName(rng).unionByName(piv).unionByName(cnt)
-        .unionByName(st).unionByName(stg)
+        .unionByName(st).unionByName(stg).unionByName(pct)
     )
 
 
@@ -2355,6 +2368,20 @@ def oracle_sql() -> dict[str, str]:
                            avg(n_chars) AS av,
                            stddev_samp(n_chars) AS sd
                     FROM j WHERE lang IS NOT NULL GROUP BY lang) a) u
+            UNION ALL
+            SELECT 'pctl', 'p' || CAST(p.pq AS VARCHAR), NULL,
+                   NULL::BIGINT, round(p.v, 4)
+            FROM (
+              SELECT w.pq, min(w.v) AS v FROM (
+                SELECT c.v, q.pq
+                FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                             sum(c) OVER () AS n
+                      FROM (SELECT n_chars AS v, count(*) AS c
+                            FROM j GROUP BY 1)) c
+                CROSS JOIN (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
+                  q(pq, qq)
+                WHERE c.cum >= ceil(q.qq * c.n)
+              ) w GROUP BY w.pq) p
         """,
         "profile_rollup_8way": _profile_rollup_sql(),
         "dedup_fingerprint": f"""

@@ -1964,6 +1964,107 @@ class IndexQueryEngine:
             F.when(n >= 2, F.sqrt(var)).alias("stddev"),
         )
 
+    def facet_percentiles_stored(
+        self,
+        query: str,
+        on: str,
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr stats.percentiles over a stored numeric column —
+        EXACT, not t-digest, via a distributed value histogram: each
+        shard worker reduces its matches x its doc-store partition to
+        (value, count) partials, the tiny merged histogram cumsums
+        JVM-side, and percentile q = the smallest value whose
+        cumulative count reaches ceil(q * n) (the discrete
+        lower-nearest definition, deterministic — no interpolation).
+
+        Exactness costs |distinct values| shuffled rows, so this is
+        the right tool for low-cardinality numerics (lengths, ranks,
+        years, scores-in-buckets — the doc-store rank columns this
+        engine stores). For high-cardinality doubles use Spark's
+        approx_percentile over ``export_matches`` instead; Solr's own
+        stats.percentiles is approximate (t-digest) there too.
+
+        -> (q double, value double), one row per requested quantile;
+        NULL values drop (they hold no rank). Empty match set ->
+        empty result."""
+        for q in qs:
+            if not 0.0 < q <= 1.0:
+                raise ValueError(f"quantile {q} outside (0, 1]")
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField("q", T.DoubleType(), False),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        part_schema = T.StructType(
+            [
+                T.StructField("v", T.DoubleType(), False),
+                T.StructField("c", T.LongType(), False),
+            ]
+        )
+        b_spec = self.spark.sparkContext.broadcast(spec)
+        idx_dir = self.index_dir
+
+        def shard_hist(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            empty = pd.DataFrame({"v": [], "c": []}).astype(
+                {"v": "float64", "c": "int64"}
+            )
+            ids = wand_mod.match_docs(pg, b_spec.value)
+            if not ids.size:
+                return empty
+            shard = int(key[0])
+            store = pq.read_table(
+                f"{idx_dir}/docs/shard={shard}", columns=["doc_id", on]
+            ).to_pandas()
+            vals = store[np.isin(store["doc_id"].to_numpy(), ids)][
+                on
+            ].dropna()
+            if not len(vals):
+                return empty
+            vc = vals.astype("float64").value_counts()
+            return pd.DataFrame(
+                {"v": vc.index.to_numpy("float64"),
+                 "c": vc.to_numpy("int64")}
+            )
+
+        hist = (
+            self._postings_for(spec)
+            .groupBy("shard")
+            .applyInPandas(shard_hist, schema=part_schema)
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        # |distinct| tiny rows: a single-partition cumsum window is
+        # deliberate here, not a scale bug (like the fusion windows)
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "v",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame({"q": list(qs)}), schema="q double"
+        )
+        return (
+            qdf.crossJoin(cum)
+            .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+            .groupBy("q")
+            .agg(F.min("v").alias("value"))
+        )
+
     def highlight_topk(
         self,
         query: str,

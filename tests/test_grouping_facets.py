@@ -330,6 +330,29 @@ def test_facet_stats_grouped_and_missing(built, spark):
     assert any(r["n_missing"] > 0 for r in got.values())
 
 
+def test_facet_percentiles_matches_oracle(built, spark):
+    """Exact distributed percentiles: smallest value whose cumulative
+    match count reaches ceil(q*n) — checked against a direct python
+    computation on the match subset, including q=1.0 == max."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    sub = _match_subset(pdocs, q)
+    vals = sorted(sub["n_chars"].astype(float))
+    got = {
+        r["q"]: r["value"]
+        for r in eng.facet_percentiles_stored(
+            q, on="n_chars", qs=(0.25, 0.5, 0.9, 1.0)
+        ).collect()
+    }
+    for qq in (0.25, 0.5, 0.9, 1.0):
+        want = vals[math.ceil(qq * len(vals)) - 1]
+        assert got[qq] == want, (qq, got[qq], want)
+    assert got[1.0] == max(vals)
+    with pytest.raises(ValueError, match="outside"):
+        eng.facet_percentiles_stored(q, on="n_chars", qs=(0.0,))
+
+
 def test_topk_boosted_matches_oracle(built, spark):
     """Query-time function boost (Solr bf/boost): additive and
     multiplicative composition with BM25 rank exactly as the python
