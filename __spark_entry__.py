@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from gxdindexer_spark.functions import bm25
 from gxdindexer_spark.operators import dedup, similarity, textstats
 from gxdindexer_spark.operators.index_build import IndexBuilder
+from gxdindexer_spark.operators.federated import FederatedQueryEngine
 from gxdindexer_spark.operators.query import IndexQueryEngine, brute_force_bm25_df
 
 BM25_QUERY = "spark join table group"
@@ -95,6 +96,29 @@ def _ensure_index_pos(spark: SparkSession, sf_dir: str) -> str:
     )
     builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
     return idx
+
+
+def _ensure_index_fed(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two member indexes over disjoint halves of the corpus (even /
+    odd doc_id — the time-partitioned-ingest analog), for the
+    federation leg of bm25_taat_wand. doc_id and shard assignments
+    come from the SAME full-corpus preparation, so member doc_ids are
+    globally unique by construction (the federation contract)."""
+    dirs = []
+    for tag, par in (("_fedA", 0), ("_fedB", 1)):
+        idx = _index_dir_for(sf_dir) + tag
+        builder = IndexBuilder(
+            fields={"content": "simple"},
+            docs_per_shard=1000,
+            salt_range=512,
+            block_size=128,
+        )
+        docs = _docs_for_index(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == par
+        )
+        builder.build(docs, idx, resume=True)
+        dirs.append(idx)
+    return dirs
 
 
 SYNONYMS = {"fast": ["quick"], "big": ["huge"]}
@@ -326,13 +350,17 @@ BOOST_WEIGHT = 0.2  # bf weight for the 'boosted' leg
 
 
 def bm25_taat_wand(spark, sf_dir):
-    """FOUR scoring strategies driver-checked in one entry (fold:
+    """FIVE scoring strategies driver-checked in one entry (fold:
     50-cap): index-free brute force, exact TAAT, and block-max WAND
     must each hash-match the SAME BM25 oracle — rank identity of the
     pruned path is the flagship invariant (O3, wand≡taat property
     tests) — plus query-time function boosting (Solr edismax bf:
     score + 0.2*ln(1+n_chars), query.topk_boosted) against the same
-    oracle chain with the boost expression composed in."""
+    oracle chain with the boost expression composed in, plus
+    FEDERATED retrieval over two disjoint half-corpus member indexes
+    (operators/federated — Solr distributed search with
+    ExactStatsCache): the exact-global-stats merge must reproduce the
+    single-index oracle bit-for-bit."""
     taat = _bm25_index(spark, sf_dir, "taat")
     wand = _bm25_index(spark, sf_dir, "wand")
     brute = bm25_brute(spark, sf_dir)
@@ -342,6 +370,12 @@ def bm25_taat_wand(spark, sf_dir):
         BM25_QUERY, k=BM25_K, field="n_chars", weight=BOOST_WEIGHT,
         fn="log1p", combine="add",
     ).select("doc_id", F.round("score", 4).alias("score"))
+    fed_engine = FederatedQueryEngine(
+        spark, _ensure_index_fed(spark, sf_dir)
+    )
+    fed = fed_engine.topk(BM25_QUERY, k=BM25_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
     return (
         taat.select(F.lit("taat").alias("mode"), "doc_id", "score")
         .unionByName(
@@ -354,6 +388,9 @@ def bm25_taat_wand(spark, sf_dir):
             boosted.select(
                 F.lit("boosted").alias("mode"), "doc_id", "score"
             )
+        )
+        .unionByName(
+            fed.select(F.lit("federated").alias("mode"), "doc_id", "score")
         )
     )
 
@@ -2158,6 +2195,8 @@ def oracle_sql() -> dict[str, str]:
                 _in_list(BM25_TERMS),
                 boost_expr=f"{BOOST_WEIGHT} * ln(1 + d.n_chars)",
             )})
+            UNION ALL
+            SELECT 'federated' AS mode, * FROM ({_BM25_SQL})
         """,
         "bm25_sorted_by_field": f"""
             {_TOKS_CTE},

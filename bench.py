@@ -346,6 +346,33 @@ def main() -> int:
     # clean. Hot JVM by now, so the ref compares directly.
     probe_mid = _reference_probe(spark)
 
+    # ----------------------------------------------- federated retrieval
+    # two member indexes over disjoint corpus halves (1-shot builds),
+    # then the exact-global-stats scatter-gather across both members
+    from gxdindexer_spark.operators.federated import FederatedQueryEngine
+
+    fed_dirs = []
+    t0 = time.monotonic()
+    for tag, par in (("_fedA", 0), ("_fedB", 1)):
+        shutil.rmtree(idx_dir + tag, ignore_errors=True)
+        IndexBuilder(
+            fields={"content": "simple"},
+            docs_per_shard=1000,
+            salt_range=512,
+            block_size=128,
+        ).build(
+            entrymod._docs_for_index(spark, SF_DIR).filter(
+                F.col("doc_id") % 2 == par
+            ),
+            idx_dir + tag,
+            resume=False,
+        )
+        fed_dirs.append(idx_dir + tag)
+    timings["fed_build_2members"] = round(time.monotonic() - t0, 3)
+    fed = FederatedQueryEngine(spark, fed_dirs)
+    _timed(timings, "bm25_federated",
+           lambda: fed.topk(BM25_QUERIES[0], k=20).collect())
+
     # ------------------------------------- incremental index maintenance
     # append ONE new shard: the commit must cost O(delta) — the
     # incremental finalize merges only the delta's dict partials

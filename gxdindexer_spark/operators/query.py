@@ -837,10 +837,24 @@ class IndexQueryEngine:
             return _empty_df(self.spark, _HITS_SCHEMA)
         if where is not None:
             return self._topk_filtered(spec, k, where)
+        return self._topk_from_spec(spec, k, mode)
+
+    def _topk_from_spec(self, spec, k: int, mode: str) -> DataFrame:
+        """Execution half of ``topk``, callable with an externally
+        built spec — the federation hook: FederatedQueryEngine builds
+        ONE spec with globally merged stats and scatter-gathers each
+        member index through this method."""
         postings = self._postings_for(spec)
         b_spec = self.spark.sparkContext.broadcast(spec)
-        # boolean clauses need the full candidate doc sets -> exact TAAT
-        prunable = self.blockmax_safe and not spec.is_boolean
+        # boolean clauses need the full candidate doc sets -> exact
+        # TAAT; so does a spec whose corpus stats are not THIS index's
+        # (a federated merged-stats spec): the stored block-max bounds
+        # were computed under this index's own avgdl and don't cover
+        # scores under foreign stats
+        stats_native = set(spec.avgdl) == set(self.avgdl) and all(
+            abs(spec.avgdl[f] - v) < 1e-12 for f, v in self.avgdl.items()
+        )
+        prunable = self.blockmax_safe and not spec.is_boolean and stats_native
         # "auto" defers the TAAT/WAND choice to EACH shard worker: the
         # global plan (choose_mode) can only reason from corpus-wide
         # idfs, but whether pruning pays is a per-shard question — a
