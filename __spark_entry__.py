@@ -440,41 +440,95 @@ def bm25_topk_batch(spark, sf_dir):
     )
 
 
+GET_IDS = [2, 17, 50, 10**9]  # last id absent: absent from result
+
+
 def bm25_topk_hydrated(spark, sf_dir):
-    """Serving-path point lookup: top-k hits hydrated with stored doc
-    content via a partition-pruned doc-store scan (shard IN-list from
-    doc_id // docs_per_shard)."""
+    """Two point-read serving shapes in one entry (fold: 50-cap).
+    cfg 'topk': top-k hits hydrated with stored doc content via a
+    partition-pruned doc-store scan (shard IN-list from doc_id //
+    docs_per_shard). cfg 'get': the Solr real-time /get analog —
+    stored fields of specific ids, no query/score, same
+    partition-pruned point read (query.get_docs); the absent id in
+    GET_IDS is absent from the result."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
     out = eng.fetch_topk(BM25_QUERY, k=10, columns=("content",))
-    return out.select(
-        "doc_id", F.round("score", 4).alias("score"), "content"
+    topk_leg = out.select(
+        F.lit("topk").alias("cfg"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "content",
     )
+    get_leg = eng.get_docs(GET_IDS, columns=("content",)).select(
+        F.lit("get").alias("cfg"),
+        "doc_id",
+        F.lit(None).cast("double").alias("score"),
+        "content",
+    )
+    return topk_leg.unionByName(get_leg)
 
 
 DELETE_IDS = [1, 3, 77]
+UPDATE_SETS = {
+    5: "spark table join spark table group sum",
+    42: "window stream group table spark merge",
+}
 
 
-def bm25_after_delete(spark, sf_dir):
-    """Doc-level delete: tombstoned ids rebuild only their shards
+def bm25_delete_update(spark, sf_dir):
+    """Both point mutations driver-checked in one entry (fold:
+    50-cap). cfg 'deleted': tombstoned ids rebuild only their shards
     (index_build.delete_docs), then the SAME BM25 query runs against
     the post-delete index — oracle scores over documents minus the
-    tombstones. Re-running restores then re-deletes deterministically
+    tombstones. cfg 'updated': Solr atomic update (set semantics,
+    index_build.update_docs) replaces two docs' content in a second
+    index copy and re-indexes only their shards — oracle scores over
+    a CASE-patched corpus (df/dl/avgdl all reflect the new text).
+    Re-running restores then re-mutates deterministically
     (fingerprints localize both)."""
-    from gxdindexer_spark.operators.index_build import delete_docs
+    from gxdindexer_spark.operators.index_build import (
+        delete_docs,
+        update_docs,
+    )
 
-    idx = _index_dir_for(sf_dir) + "_del"
     builder = IndexBuilder(
         fields={"content": "simple"},
         docs_per_shard=1000,
         salt_range=512,
         block_size=128,
     )
-    builder.build(_docs_for_index(spark, sf_dir), idx, resume=True)
-    delete_docs(spark, idx, builder, DELETE_IDS, assume_dense_shards=True)
-    eng = IndexQueryEngine(spark, idx)
-    hits = eng.topk(BM25_QUERY, k=BM25_K, mode="taat")
-    return hits.select("doc_id", F.round("score", 4).alias("score"))
+    idx_d = _index_dir_for(sf_dir) + "_del"
+    builder.build(_docs_for_index(spark, sf_dir), idx_d, resume=True)
+    delete_docs(spark, idx_d, builder, DELETE_IDS, assume_dense_shards=True)
+    deleted = IndexQueryEngine(spark, idx_d).topk(
+        BM25_QUERY, k=BM25_K, mode="taat"
+    )
+    idx_u = _index_dir_for(sf_dir) + "_upd"
+    builder.build(_docs_for_index(spark, sf_dir), idx_u, resume=True)
+    update_docs(
+        spark,
+        idx_u,
+        builder,
+        {i: {"content": t} for i, t in UPDATE_SETS.items()},
+        assume_dense_shards=True,
+    )
+    updated = IndexQueryEngine(spark, idx_u).topk(
+        BM25_QUERY, k=BM25_K, mode="taat"
+    )
+    return (
+        deleted.select(
+            F.lit("deleted").alias("cfg"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        ).unionByName(
+            updated.select(
+                F.lit("updated").alias("cfg"),
+                "doc_id",
+                F.round("score", 4).alias("score"),
+            )
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1387,7 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_tf_top50": tokenize_tf_top50,
         "bm25_synonyms": bm25_synonyms,
         "bm25_taat_wand": bm25_taat_wand,
-        "bm25_after_delete": bm25_after_delete,
+        "bm25_delete_update": bm25_delete_update,
         "bm25_boolean_filtered": bm25_boolean_filtered,
         "bm25_phrase_modes": bm25_phrase_modes,
         "bm25_topk_batch": bm25_topk_batch,
@@ -1423,12 +1477,15 @@ def _bm25_sql(
     bool_where: str = "",
     docs_where: str = "",
     boost_expr: str = "",
+    docs_src: str = "documents",
 ) -> str:
     """BM25 oracle generator: ``term_cond`` selects the scoring terms
     (IN-list or LIKE for wildcard rewrite); ``bool_where`` appends
     boolean-clause filters over the scored docs; ``docs_where``
     restricts the corpus itself (e.g. post-delete tombstones) —
-    df/dl/avgdl all derive from the restricted corpus; ``boost_expr``
+    df/dl/avgdl all derive from the restricted corpus; ``docs_src``
+    replaces the corpus relation outright (e.g. a CASE-patched
+    subquery modelling atomic updates); ``boost_expr``
     (a SQL expression over documents alias ``d``, e.g.
     ``'0.2 * ln(1 + d.n_chars)'``) adds a query-time function boost
     to every score before ranking (the Solr ``bf`` contract)."""
@@ -1436,7 +1493,7 @@ def _bm25_sql(
         "WITH toks AS (SELECT doc_id, unnest(list_filter("
         "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),"
         " x -> x <> '')) AS term "
-        f"FROM documents {docs_where})"
+        f"FROM {docs_src} {docs_where})"
     )
     return f"""
 {toks_cte},
@@ -2211,14 +2268,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'export', d.doc_id, d.n_chars
             FROM m JOIN documents d USING (doc_id)
         """,
-        "bm25_after_delete": _bm25_sql(
+        "bm25_delete_update": "SELECT 'deleted' AS cfg, * FROM ("
+        + _bm25_sql(
             _in_list(BM25_TERMS),
             docs_where=(
                 "WHERE doc_id NOT IN ("
                 + ", ".join(str(i) for i in DELETE_IDS)
                 + ")"
             ),
-        ),
+        )
+        + ") UNION ALL SELECT 'updated' AS cfg, * FROM ("
+        + _bm25_sql(
+            _in_list(BM25_TERMS),
+            docs_src=(
+                "(SELECT doc_id, CASE "
+                + " ".join(
+                    f"WHEN doc_id = {i} THEN '{t}'"
+                    for i, t in UPDATE_SETS.items()
+                )
+                + " ELSE text END AS text FROM documents)"
+            ),
+        )
+        + ")",
         "bm25_wildcard_modes": f"""
             SELECT 'prefix' AS mode, * FROM
               ({_bm25_sql("term LIKE 'st%' OR term = 'join'")})
@@ -2271,9 +2342,12 @@ def oracle_sql() -> dict[str, str]:
         )
         + ")",
         "bm25_topk_hydrated": f"""
-            SELECT s.doc_id, s.score, d.text AS content
+            SELECT 'topk' AS cfg, s.doc_id, s.score, d.text AS content
             FROM ({_bm25_sql(_in_list(BM25_TERMS), k=10)}) s
             JOIN documents d USING (doc_id)
+            UNION ALL
+            SELECT 'get', doc_id, NULL::DOUBLE, text FROM documents
+            WHERE doc_id IN ({", ".join(str(i) for i in GET_IDS)})
         """,
         "bm25_topk_batch": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM "

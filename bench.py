@@ -395,6 +395,25 @@ def main() -> int:
         spark, idx_dir, builder, [10, 11, 1500], assume_dense_shards=True
     )
     timings["delete_docs_2shards"] = round(time.monotonic() - t0, 3)
+    # atomic updates: content update rebuilds one shard through the
+    # builder; attr-only update takes the docvalues path (doc-store
+    # partition rewrite, postings untouched)
+    from gxdindexer_spark.operators.index_build import update_docs
+
+    t0 = time.monotonic()
+    update_docs(
+        spark, idx_dir, builder,
+        {20: {"content": "spark table join group window merge"}},
+        assume_dense_shards=True,
+    )
+    timings["update_content_1shard"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    update_docs(
+        spark, idx_dir, builder,
+        {21: {"n_chars": 123456}, 2200: {"n_chars": 654321}},
+        assume_dense_shards=True,
+    )
+    timings["update_attrs_docvalues"] = round(time.monotonic() - t0, 3)
 
     probe_end = _reference_probe(spark)
     ratio_start = probe_start / PROBE_IDLE_REF

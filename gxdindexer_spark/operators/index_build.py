@@ -1021,6 +1021,159 @@ def delete_docs(
     return metrics
 
 
+def update_docs(
+    spark: SparkSession,
+    index_dir: str,
+    builder: "IndexBuilder",
+    updates: dict[int, dict],
+    assume_dense_shards: bool = False,
+) -> dict:
+    """Atomic document update (Solr's atomic update, ``set``
+    semantics): per-doc partial field updates re-index ONLY the
+    shards containing the touched docs — the point-mutation
+    counterpart to ``delete_docs``' shard-scoped rebuild (the
+    reference's only answer to a changed record is the scheduled full
+    re-ingest, Indexer.java:83-88).
+
+    ``updates`` maps doc_id -> {column: new value} over doc-store
+    columns (content and/or stored attributes). A ``None`` value
+    keeps the old value (coalesce merge) — removing a field is not
+    supported. Ids absent from the index are ignored, like
+    ``delete_docs`` (idempotence over replays beats erroring in a
+    pipeline). Updates are DRIVER-SIDE point data by contract (a
+    handful of docs); bulk mutation is a rebuild, not N atomic
+    updates.
+
+    When an update touches ``content``, ``content_sha256`` is
+    recomputed so the shard fingerprint changes and the resume path
+    rebuilds exactly the touched shards (and a replay against an
+    already-updated index is a no-op). Postings, dictionary partials,
+    df/avgdl, block maxima and the doc store all refresh through the
+    same incremental finalize as any shard rebuild.
+
+    Two execution classes, chosen by what the update touches:
+
+    - Any INDEXED field (the manifest's analyzer map, e.g.
+      ``content``) -> the touched shards rebuild through the builder
+      (fingerprint changes via the recomputed ``content_sha256``);
+      postings, dictionary, df/avgdl, block maxima all refresh.
+    - STORED-ONLY attributes (rank/facet columns) -> the Lucene
+      ``updateDocValues`` analog: postings and stats are untouched by
+      construction, so ONLY the affected doc-store shard partitions
+      rewrite, committed with the same marker-bracketed atomic swap
+      compaction uses (crash mid-swap replays on next open). No
+      re-analysis, no finalize — O(touched shards) I/O.
+
+    A single call mixing both classes takes the rebuild path for
+    everything (correct, just not minimal).
+
+    -> builder metrics + {"docs_updated": n, "shards_rebuilt": n}.
+    """
+    _recover_compaction(index_dir)
+    bad = sorted({c for u in updates.values() for c in u}
+                 & {"doc_id", "shard"})
+    if bad:
+        raise ValueError(f"cannot update identity columns {bad}")
+    ids = sorted({int(i) for i in updates})
+    if not ids:
+        return {"docs_updated": 0, "shards_rebuilt": 0}
+    store = spark.read.parquet(f"{index_dir}/docs")
+    store_types = {f.name: f.dataType for f in store.schema.fields}
+    upd_cols = sorted({c for u in updates.values() for c in u})
+    for c in upd_cols:
+        if c not in store_types:
+            raise ValueError(
+                f"update column {c!r} is not in the doc store "
+                f"(has: {sorted(store_types)})"
+            )
+    scoped = store
+    if assume_dense_shards:
+        with open(f"{index_dir}/manifest.json") as fh:
+            dps = int(json.load(fh).get("docs_per_shard") or 0)
+        if dps:
+            scoped = store.filter(
+                F.col("shard").isin(sorted({i // dps for i in ids}))
+            )
+    affected = sorted(
+        int(r["shard"])
+        for r in scoped.filter(F.col("doc_id").isin(ids))
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"docs_updated": 0, "shards_rebuilt": 0}
+    upd_pdf = pd.DataFrame(
+        [
+            {"doc_id": i, **{c: updates[i].get(c) for c in upd_cols}}
+            for i in ids
+        ]
+    )
+    upd = spark.createDataFrame(upd_pdf).alias("u")
+    rows = store.filter(F.col("shard").isin(affected)).alias("s")
+    merged = rows.join(F.broadcast(upd), "doc_id", "left").select(
+        "doc_id",
+        *[
+            (
+                F.coalesce(
+                    F.col(f"u.{c}").cast(store_types[c]), F.col(f"s.{c}")
+                )
+                if c in upd_cols
+                else F.col(f"s.{c}")
+            ).alias(c)
+            for c in store_types
+            if c != "doc_id"
+        ],
+    )
+    if "content" in upd_cols and "content_sha256" in store_types:
+        merged = merged.withColumn(
+            "content_sha256",
+            F.sha2(F.coalesce("content", F.lit("")), 256),
+        )
+    # materialize BEFORE the rewrite wipes the source partitions
+    # (same self-read hazard delete_docs guards against)
+    merged = merged.localCheckpoint()
+    n_updated = merged.join(F.broadcast(upd), "doc_id", "semi").count()
+    with open(f"{index_dir}/manifest.json") as fh:
+        indexed = set(json.load(fh).get("fields") or {})
+    if set(upd_cols) & indexed:
+        metrics = builder.build(merged, index_dir, resume=True, append=True)
+    else:
+        # stored-only attrs: docvalues-style doc-store partition
+        # rewrite under the writer lock; postings/stats untouched
+        with _WriterLock(index_dir):
+            for s in affected:
+                rows = merged.filter(F.col("shard") == s).drop("shard")
+                key = f"docs__shard={s}"
+                tmp = f"{index_dir}/.{key}_compact_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                rows.repartition(1).write.mode("overwrite").parquet(tmp)
+                _swap_dir_commit(index_dir, f"docs/shard={s}", key)
+        metrics = {}
+    metrics.update(docs_updated=n_updated, shards_rebuilt=len(affected))
+    return metrics
+
+
+def _swap_dir_commit(index_dir: str, rel: str, key: str) -> None:
+    """Marker-bracketed atomic directory swap (the compaction
+    protocol, nested-path variant): replace ``{index_dir}/{rel}``
+    with the fully-written ``.{key}_compact_tmp``. ``key`` must be
+    ``rel`` with '/' encoded as '__' so ``_recover_compaction`` can
+    replay an interrupted swap on next open."""
+    src = f"{index_dir}/{rel}"
+    tmp = f"{index_dir}/.{key}_compact_tmp"
+    old = f"{index_dir}/.{key}_old"
+    marker = f"{index_dir}/.{key}_swap.marker"
+    shutil.rmtree(old, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(rel)
+    if os.path.isdir(src):
+        os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+
+
 def _field_totals(
     kept_entries: dict[int, dict],
     delta_field_stats: dict[int, dict[str, dict]],
@@ -1153,7 +1306,10 @@ def _recover_compaction(index_dir: str) -> None:
         if not (name.startswith(".") and name.endswith("_swap.marker")):
             continue
         art = name[1 : -len("_swap.marker")]
-        src = f"{index_dir}/{art}"
+        # "__" encodes a nested path (a doc-store shard partition
+        # swapped by update_docs' attr-only path); plain artifact
+        # names never contain it
+        src = f"{index_dir}/{art.replace('__', '/')}"
         tmp = f"{index_dir}/.{art}_compact_tmp"
         old = f"{index_dir}/.{art}_old"
         if not os.path.isdir(src):

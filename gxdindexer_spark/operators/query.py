@@ -1460,6 +1460,44 @@ class IndexQueryEngine:
             ).schema
         return self._docs_schema
 
+    def get_docs(
+        self,
+        doc_ids,
+        columns: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Real-time get (Solr ``/get``): stored fields of specific
+        docs by id, no query, no scoring — the point-read serving
+        primitive (fetch a doc to display/diff/patch). Plan shape:
+        with the repo's dense layout (shard == doc_id //
+        docs_per_shard, recorded in the manifest) the read is
+        PARTITION-PRUNED to the ids' own shard directories plus a
+        pushed doc_id IN-filter — O(requested docs), never a store
+        scan. Ids absent from the index are simply absent from the
+        result (Solr returns null docs; a DataFrame has no nulls to
+        return). -> (doc_id, *stored columns), doc_id ascending."""
+        ids = sorted({int(i) for i in doc_ids})
+        schema = {f.name for f in self._doc_store_schema().fields}
+        for c in columns:
+            if c not in schema:
+                raise ValueError(
+                    f"column {c!r} is not in the doc store "
+                    f"(has: {sorted(schema)})"
+                )
+        out = self.spark.read.parquet(f"{self.index_dir}/docs")
+        if not ids:
+            out = out.filter(F.lit(False))
+        dps = int(self.manifest.get("docs_per_shard") or 0)
+        if dps and ids:
+            out = out.filter(
+                F.col("shard").isin(sorted({i // dps for i in ids}))
+            )
+        out = out.filter(F.col("doc_id").isin(ids))
+        if columns:
+            out = out.select("doc_id", *columns)
+        else:
+            out = out.drop("shard")
+        return out.orderBy("doc_id")
+
     def facet_counts(
         self,
         query: str,
