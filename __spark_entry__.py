@@ -959,7 +959,17 @@ def pivot_event_counts(spark, sf_dir):
     )
 
 
+TV_K = 3  # term-vector leg: top-3 docs of BM25_QUERY
+
+
 def tokenize_tf_top50(spark, sf_dir):
+    """Corpus-level term stats AND per-doc term vectors in one entry
+    (fold: 50-cap). cfg 'corpus': analyzer-tokenized corpus-wide
+    top-50 terms by collection frequency (tf column carries cf here).
+    cfg 'tv': the Solr TermVectorComponent analog — (doc_id, term,
+    tf, global df) for the top-TV_K hits of BM25_QUERY, re-analyzed
+    from stored text O(k docs) with df from the pruned dictionary
+    lookup (query.term_vectors)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -970,12 +980,25 @@ def tokenize_tf_top50(spark, sf_dir):
             )
         ).alias("term"),
     )
-    return (
+    corpus = (
         toks.groupBy("term")
-        .agg(F.count("*").alias("cf"), F.count_distinct("doc_id").alias("df"))
-        .orderBy(F.desc("cf"), F.asc("term"))
+        .agg(F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("term"))
         .limit(50)
+        .select(
+            F.lit("corpus").alias("cfg"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "term",
+            "tf",
+            "df",
+        )
     )
+    idx = _ensure_index(spark, sf_dir)
+    eng = IndexQueryEngine(spark, idx)
+    tv = eng.term_vectors(BM25_QUERY, k=TV_K).select(
+        F.lit("tv").alias("cfg"), "doc_id", "term", "tf", "df"
+    )
+    return corpus.unionByName(tv)
 
 
 def bm25_brute(spark, sf_dir):
@@ -2232,11 +2255,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "tokenize_tf_top50": f"""
-            {_TOKS_CTE}
-            SELECT term, count(*)::BIGINT AS cf,
-                   count(DISTINCT doc_id)::BIGINT AS df
-            FROM toks GROUP BY term
-            ORDER BY cf DESC, term ASC LIMIT 50
+            {_TOKS_CTE},
+            dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM toks GROUP BY term)
+            SELECT 'corpus' AS cfg, NULL::BIGINT AS doc_id, term,
+                   tf, df
+            FROM (SELECT term, count(*)::BIGINT AS tf,
+                         count(DISTINCT doc_id)::BIGINT AS df
+                  FROM toks GROUP BY term
+                  ORDER BY tf DESC, term ASC LIMIT 50)
+            UNION ALL
+            SELECT 'tv', t.doc_id, t.term, count(*)::BIGINT AS tf,
+                   any_value(dfs.df)
+            FROM toks t
+            JOIN (SELECT doc_id FROM ({_bm25_sql(
+                _in_list(BM25_TERMS), k=TV_K
+            )})) top ON t.doc_id = top.doc_id
+            JOIN dfs ON dfs.term = t.term
+            GROUP BY t.doc_id, t.term
         """,
         "bm25_synonyms": _bm25_syn_sql(
             SYNONYMS, _in_list(SYNONYM_QUERY.split())

@@ -1498,6 +1498,91 @@ class IndexQueryEngine:
             out = out.drop("shard")
         return out.orderBy("doc_id")
 
+    def term_vectors(
+        self,
+        query: str,
+        k: int = 10,
+        field: str = "content",
+        mode: str = "wand",
+    ) -> DataFrame:
+        """Solr TermVectorComponent (tv=true&tv.tf&tv.df): per-doc
+        term statistics for the top-k hits — (doc_id, term, tf, df)
+        with tf from the doc's own token stream and df the GLOBAL
+        document frequency. Solr without stored term vectors
+        re-analyzes the stored field for exactly this response; so do
+        we, but distributed: the top-k ids resolve first (one normal
+        scatter-gather), their stored text hydrates via the
+        partition-pruned point read (``get_docs`` plan), an Arrow
+        ``mapInPandas`` re-runs the field's OWN analyzer per doc, and
+        df attaches from the dictionary through the same pruned
+        IN-list lookup ``make_spec`` uses (driver cache or pushed
+        scan — never a dictionary scan). Every stage is O(k docs),
+        independent of corpus size.
+
+        -> (doc_id, term, tf, df), ordered (doc_id asc, tf desc,
+        term asc)."""
+        if field not in self.fields:
+            raise ValueError(
+                f"field {field!r} is not indexed (has: "
+                f"{sorted(self.fields)})"
+            )
+        ids = [
+            r["doc_id"] for r in self.topk(query, k=k, mode=mode).collect()
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("term", T.StringType(), False),
+                T.StructField("tf", T.LongType(), False),
+            ]
+        )
+        if not ids:
+            return _empty_df(self.spark, out_schema).withColumn(
+                "df", F.lit(None).cast("long")
+            )
+        analyzer = self.fields[field]
+        store = self.get_docs(ids, columns=(field,))
+
+        def analyze_tv(batches):
+            from collections import Counter
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                toks = analyze.TOKENIZERS[analyzer](
+                    pdf[field].fillna("")
+                )
+                recs = []
+                for doc, ts in zip(pdf["doc_id"], toks):
+                    for t, n in Counter(ts).items():
+                        recs.append((int(doc), t, int(n)))
+                yield pd.DataFrame(
+                    recs, columns=["doc_id", "term", "tf"]
+                ).astype({"doc_id": "int64", "tf": "int64"})
+
+        tv = store.mapInPandas(analyze_tv, schema=out_schema)
+        tv = tv.localCheckpoint()  # reused for distinct + final join
+        terms = sorted(
+            r["term"] for r in tv.select("term").distinct().collect()
+        )
+        if not terms:
+            return _empty_df(self.spark, out_schema).withColumn(
+                "df", F.lit(None).cast("long")
+            )
+        dfs = self._lookup_stats([(field, t) for t in terms])
+        df_map = pd.DataFrame(
+            {
+                "term": terms,
+                "df": [int(dfs.get((field, t), 0)) for t in terms],
+            }
+        )
+        df_rel = self.spark.createDataFrame(df_map)
+        return (
+            tv.join(F.broadcast(df_rel), "term")
+            .select("doc_id", "term", "tf", "df")
+            .orderBy("doc_id", F.desc("tf"), F.asc("term"))
+        )
+
     def facet_counts(
         self,
         query: str,

@@ -330,6 +330,36 @@ def test_facet_stats_grouped_and_missing(built, spark):
     assert any(r["n_missing"] > 0 for r in got.values())
 
 
+def test_term_vectors_matches_oracle(built, spark):
+    """TermVectorComponent: per-doc tf from the field's own analyzer
+    over stored text, df from the global dictionary — exact python
+    oracle over the corpus."""
+    from collections import Counter
+
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    scores = _oracle_scores(pdocs, q)
+    top = [
+        d
+        for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    toks_all = analyze.TOKENIZERS["code"](pdocs["content"])
+    bydoc = dict(zip(pdocs["doc_id"].astype(int), toks_all))
+    df_cnt: Counter = Counter()
+    for ts in toks_all:
+        df_cnt.update(set(ts))
+    want = []
+    for d in sorted(top):
+        c = Counter(bydoc[d])
+        for t in sorted(c, key=lambda t: (-c[t], t)):
+            want.append((d, t, c[t], df_cnt[t]))
+    got = eng.term_vectors(q, k=5).collect()
+    assert [(r["doc_id"], r["term"], r["tf"], r["df"]) for r in got] == want
+    with pytest.raises(ValueError, match="not indexed"):
+        eng.term_vectors(q, field="nope")
+
+
 def test_facet_percentiles_matches_oracle(built, spark):
     """Exact distributed percentiles: smallest value whose cumulative
     match count reaches ceil(q*n) — checked against a direct python
