@@ -176,3 +176,83 @@ class FederatedQueryEngine:
         parts = [e.count_matches(query, fields) for e in self.engines]
         merged = reduce(DataFrame.unionByName, parts)
         return merged.agg(F.sum("n_matches").alias("n_matches"))
+
+    # Stats-free serving surfaces federate by plain merge: matching,
+    # faceting, sorting, point reads and export never read df/avgdl,
+    # so member-local execution is already globally correct and the
+    # federator only combines tiny per-member results.
+
+    def facet_counts_stored(self, query: str, by: str, fields=None):
+        """Federated facet.field: member shard-local counts sum."""
+        parts = [
+            e.facet_counts_stored(query, by, fields) for e in self.engines
+        ]
+        merged = reduce(DataFrame.unionByName, parts)
+        return merged.groupBy(by).agg(F.sum("n_docs").alias("n_docs"))
+
+    def sorted_matches(
+        self,
+        query: str,
+        by: str,
+        k: int = 10,
+        offset: int = 0,
+        ascending: bool = True,
+        fields=None,
+        columns: tuple[str, ...] = (),
+        where: str | None = None,
+    ) -> DataFrame:
+        """Federated sort-by-stored-field page: each member emits its
+        local top-(offset+k) (the same bound its own shards use), the
+        federator re-sorts members*(offset+k) tiny rows and applies
+        the global offset/limit — the standard distributed deep-page
+        merge, one more level up."""
+        parts = [
+            e.sorted_matches(
+                query,
+                by=by,
+                k=offset + k,
+                ascending=ascending,
+                fields=fields,
+                columns=columns,
+                where=where,
+            )
+            for e in self.engines
+        ]
+        merged = reduce(DataFrame.unionByName, parts)
+        order = F.asc(by) if ascending else F.desc(by)
+        out = merged.orderBy(order, F.asc("doc_id"))
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k)
+
+    def get_docs(self, doc_ids, columns: tuple[str, ...] = ()):
+        """Federated real-time get: each member point-reads its own
+        hits; ids live in exactly one member (disjoint contract)."""
+        parts = [e.get_docs(doc_ids, columns) for e in self.engines]
+        return reduce(DataFrame.unionByName, parts).orderBy("doc_id")
+
+    def export_matches(
+        self,
+        query: str,
+        by: str,
+        columns: tuple[str, ...] = (),
+        ascending: bool = True,
+        fields=None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Federated /export: member shard-local hydration, one
+        global range sort over the union."""
+        parts = [
+            e.export_matches(
+                query,
+                by=by,
+                columns=columns,
+                ascending=ascending,
+                fields=fields,
+                where=where,
+            )
+            for e in self.engines
+        ]
+        merged = reduce(DataFrame.unionByName, parts)
+        order = F.asc(by) if ascending else F.desc(by)
+        return merged.orderBy(order, F.asc("doc_id"))

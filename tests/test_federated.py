@@ -106,6 +106,52 @@ def test_federated_count_matches(built, spark):
     assert got == want > 0
 
 
+def test_federated_serving_surfaces_equal_single(built, spark):
+    """Stats-free surfaces (facets, sorted paging, get, export)
+    federate by plain merge and must equal the single merged index
+    exactly."""
+    single = IndexQueryEngine(spark, built["full"])
+    fed = FederatedQueryEngine(spark, [built["h0"], built["h1"]])
+    q = "get* index"
+    fw = {
+        (r["lang"], r["n_docs"])
+        for r in single.facet_counts_stored(q, by="lang").collect()
+    }
+    fg = {
+        (r["lang"], r["n_docs"])
+        for r in fed.facet_counts_stored(q, by="lang").collect()
+    }
+    assert fg == fw and fw
+    sw = [
+        (r["doc_id"], r["path"])
+        for r in single.sorted_matches(q, by="path", k=7, offset=3).collect()
+    ]
+    sg = [
+        (r["doc_id"], r["path"])
+        for r in fed.sorted_matches(q, by="path", k=7, offset=3).collect()
+    ]
+    assert sg == sw and len(sw) == 7
+    ids = [2, 3, 5, 8]
+    gw = {
+        r["doc_id"]: r["lang"]
+        for r in single.get_docs(ids, columns=("lang",)).collect()
+    }
+    gg = {
+        r["doc_id"]: r["lang"]
+        for r in fed.get_docs(ids, columns=("lang",)).collect()
+    }
+    assert gg == gw and set(gw) == set(ids)
+    ew = [
+        (r["doc_id"], r["path"])
+        for r in single.export_matches(q, by="path").collect()
+    ]
+    eg = [
+        (r["doc_id"], r["path"])
+        for r in fed.export_matches(q, by="path").collect()
+    ]
+    assert eg == ew and len(ew) > 7
+
+
 def test_federated_rejects_mismatched_params(built, spark, tmp_path):
     other = str(tmp_path / "other_k1")
     corpus = generate_corpus(spark, 40, seed=5, partitions=2)
