@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gxdindexer_spark.functions import analyze, bm25, hashing
+from gxdindexer_spark.functions import codec as codec_mod
 from gxdindexer_spark.operators import wand as wand_mod
 
 _HITS_SCHEMA = T.StructType(
@@ -775,7 +776,7 @@ class IndexQueryEngine:
             * float(bm25.idf(self.n_docs[f], df))
             for (f, t), df in dfs.items()
         }
-        return wand_mod.QuerySpec(
+        spec = wand_mod.QuerySpec(
             term_weights=term_weights,
             avgdl=dict(self.avgdl),
             k1=float(self.manifest["k1"]),
@@ -788,6 +789,16 @@ class IndexQueryEngine:
                 (f, self._tid(t)) for f, t in must_not_pairs
             ),
         )
+        # debug metadata riding on the plan (Solr debugQuery /
+        # explain_score): term_id -> surface term and its df
+        spec.term_names = {
+            (f, self._tid(t)): t
+            for f, t in set(scoring_pairs) | set(must_not_pairs)
+        }
+        spec.term_dfs = {
+            (f, self._tid(t)): int(df) for (f, t), df in dfs.items()
+        }
+        return spec
 
     # ----------------------------------------------------------- execute
 
@@ -1497,6 +1508,103 @@ class IndexQueryEngine:
         else:
             out = out.drop("shard")
         return out.orderBy("doc_id")
+
+    def explain_score(
+        self,
+        query: str,
+        doc_id: int,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr ``debugQuery=true`` / Lucene ``explain`` analog: the
+        per-term decomposition of one document's BM25 score — for
+        each matching (field, term): df, the idf*field-boost weight,
+        the doc's tf and dl, and the resulting contribution. The sum
+        of ``contribution`` IS the document's ``topk`` score
+        (pytest-asserted to 1e-12) — every factor a relevance-tuning
+        user needs to see why a doc ranked where it did.
+
+        Plan shape: O(1) — the doc lives in exactly one shard (dense
+        layout), so the pruned postings scan narrows to that single
+        shard partition and the worker decodes only the query terms'
+        lists. A doc that does not match (no scoring terms, or
+        excluded by +must/-must_not clauses) explains to an EMPTY
+        result, mirroring Lucene's non-match explanation.
+
+        -> (field, term, df, weight, tf, dl, contribution), ordered
+        by contribution desc."""
+        spec = self.make_spec(query, fields)
+        out_schema = T.StructType(
+            [
+                T.StructField("field", T.StringType(), False),
+                T.StructField("term", T.StringType(), False),
+                T.StructField("df", T.LongType(), False),
+                T.StructField("weight", T.DoubleType(), False),
+                T.StructField("tf", T.DoubleType(), False),
+                T.StructField("dl", T.DoubleType(), False),
+                T.StructField("contribution", T.DoubleType(), False),
+            ]
+        )
+        if not spec.term_weights:
+            return _empty_df(self.spark, out_schema)
+        did = int(doc_id)
+        dps = int(self.manifest.get("docs_per_shard") or 0)
+        postings = self._postings_for(spec)
+        if dps:
+            postings = postings.filter(F.col("shard") == did // dps)
+        b_spec = self.spark.sparkContext.broadcast(spec)
+
+        def shard_explain(key: tuple, pg: pd.DataFrame) -> pd.DataFrame:
+            sp = b_spec.value
+            names = [f.name for f in out_schema.fields]
+            empty = pd.DataFrame({c: [] for c in names}).astype(
+                {"df": "int64"}
+            )
+            # boolean membership first: an excluded doc explains empty
+            ids, _scores = wand_mod.match_scores(pg, sp)
+            if did not in ids:
+                return empty
+            recs = []
+            for r in pg.itertuples():
+                k = (r.field, int(r.term_id))
+                w = sp.term_weights.get(k, 0.0)
+                if w <= 0.0:
+                    continue
+                docs, tfs, dls = codec_mod.posting_list_from_row(
+                    str(r.term_id), r._asdict()
+                ).decode_all()
+                hit = np.nonzero(docs == did)[0]
+                if not hit.size:
+                    continue
+                i = int(hit[0])
+                tf, dl = float(tfs[i]), float(dls[i])
+                contrib = w * float(
+                    bm25.tf_norm(
+                        np.array([tf]),
+                        np.array([dl]),
+                        sp.avgdl[r.field],
+                        sp.k1,
+                        sp.b,
+                    )[0]
+                )
+                recs.append(
+                    (
+                        r.field,
+                        sp.term_names.get(k, str(r.term_id)),
+                        int(sp.term_dfs.get(k, 0)),
+                        float(w),
+                        tf,
+                        dl,
+                        contrib,
+                    )
+                )
+            if not recs:
+                return empty
+            return pd.DataFrame(recs, columns=names)
+
+        local = postings.groupBy("shard").applyInPandas(
+            shard_explain, schema=out_schema
+        )
+        return local.orderBy(F.desc("contribution"), F.asc("term"))
 
     def term_vectors(
         self,

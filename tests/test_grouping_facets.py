@@ -330,6 +330,45 @@ def test_facet_stats_grouped_and_missing(built, spark):
     assert any(r["n_missing"] > 0 for r in got.values())
 
 
+def test_explain_score_decomposes_topk(built, spark):
+    """debugQuery/explain: per-term contributions sum EXACTLY to the
+    doc's topk score; boolean-excluded and non-matching docs explain
+    empty."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    q = "getIndexList if return"
+    top = eng.topk(q, k=3, mode="taat").collect()
+    assert top
+    for r in top:
+        ex = eng.explain_score(q, r["doc_id"]).collect()
+        assert ex
+        total = sum(e["contribution"] for e in ex)
+        assert math.isclose(total, r["score"], rel_tol=1e-12)
+        for e in ex:
+            assert e["df"] >= 1 and e["tf"] >= 1 and e["weight"] > 0
+        # ordered by contribution desc
+        assert [e["contribution"] for e in ex] == sorted(
+            (e["contribution"] for e in ex), reverse=True
+        )
+    # excluding a token the top doc contains empties its explanation
+    d0 = int(top[0]["doc_id"])
+    content = pdocs.loc[pdocs["doc_id"] == d0, "content"].iloc[0]
+    tok = analyze.TOKENIZERS["code"](pd.Series([content]))[0][0]
+    assert eng.explain_score(f"getIndexList if -{tok}", d0).collect() == []
+    # a doc with none of the query terms explains empty too: query a
+    # corpus term the doc is known to lack
+    toks_all = analyze.TOKENIZERS["code"](pdocs["content"])
+    sets = [set(ts) for ts in toks_all]
+    vocab = set().union(*sets)
+    idx_missing, term_missing = next(
+        (i, sorted(vocab - s)[0])
+        for i, s in enumerate(sets)
+        if vocab - s
+    )
+    non = int(pdocs["doc_id"].iloc[idx_missing])
+    assert eng.explain_score(term_missing, non).collect() == []
+
+
 def test_term_vectors_matches_oracle(built, spark):
     """TermVectorComponent: per-doc tf from the field's own analyzer
     over stored text, df from the global dictionary — exact python
