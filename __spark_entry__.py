@@ -1126,16 +1126,20 @@ def bm25_boolean(spark, sf_dir):
 
 
 FILTER_WHERE = "n_chars < 300 and lang == 'en'"  # Solr fq analog
+JOIN_QUERY = "window stream batch"  # inner query of the join leg
 
 
 def bm25_boolean_filtered(spark, sf_dir):
-    """Restricted-match retrieval, two restriction mechanisms in one
-    entry (fold: 50-cap): Lucene boolean clauses (+must / -must_not,
-    restriction by INDEXED terms) and filtered retrieval
+    """Restricted-match retrieval, THREE restriction mechanisms in
+    one entry (fold: 50-cap): Lucene boolean clauses (+must /
+    -must_not, restriction by INDEXED terms), filtered retrieval
     (topk(where=...), restriction by STORED attributes — the Solr fq
     contract: the predicate pushes into the shard-local doc-store
     read as parquet row-group filters and never touches scoring
-    stats)."""
+    stats), and the Solr join qparser ({!join from=source to=source}
+    — restriction by RELATION to another query's matches,
+    query.join_filter_topk: the inner query's distinct source values
+    resolve shard-locally and broadcast as the fq IN-set)."""
     idx = _ensure_index(spark, sf_dir)
     eng = IndexQueryEngine(spark, idx)
     boo = bm25_boolean(spark, sf_dir).select(
@@ -1146,7 +1150,15 @@ def bm25_boolean_filtered(spark, sf_dir):
         "doc_id",
         F.round("score", 4).alias("score"),
     )
-    return boo.unionByName(flt)
+    jn = eng.join_filter_topk(
+        BM25_QUERY, JOIN_QUERY, join_from="source", join_to="source",
+        k=BM25_K,
+    ).select(
+        F.lit("joined").alias("cfg"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    return boo.unionByName(flt).unionByName(jn)
 
 
 def match_count_or(spark, sf_dir):
@@ -2374,6 +2386,20 @@ def oracle_sql() -> dict[str, str]:
             bool_where=(
                 "WHERE doc_id IN (SELECT doc_id FROM documents "
                 "WHERE n_chars < 300 AND lang = 'en')"
+            ),
+        )
+        + ") UNION ALL SELECT 'joined' AS cfg, * FROM ("
+        # join qparser: restrict to docs sharing a source with the
+        # inner query's matches (join adds no score)
+        + _bm25_sql(
+            _in_list(BM25_TERMS),
+            bool_where=(
+                "WHERE doc_id IN (SELECT doc_id FROM documents WHERE "
+                "source IN (SELECT DISTINCT d2.source FROM documents "
+                "d2 JOIN (SELECT DISTINCT doc_id FROM toks WHERE "
+                + _in_list(JOIN_QUERY.split())
+                + ") m ON d2.doc_id = m.doc_id "
+                "WHERE d2.source IS NOT NULL))"
             ),
         )
         + ")",

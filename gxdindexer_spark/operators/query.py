@@ -906,9 +906,12 @@ class IndexQueryEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def _topk_filtered(self, spec, k: int, where: str) -> DataFrame:
-        """Filtered-retrieval worker plan (see ``topk(where=)``)."""
-        flt = _parse_where(where)
+    def _topk_filtered(self, spec, k: int, where) -> DataFrame:
+        """Filtered-retrieval worker plan (see ``topk(where=)``).
+        ``where`` is either the predicate string (parsed here) or a
+        ready list of pyarrow filter tuples (the join qparser passes
+        its computed IN-set directly)."""
+        flt = _parse_where(where) if isinstance(where, str) else where
         store_cols = {f.name for f in self._doc_store_schema().fields}
         for col, _op, _v in flt:
             if col not in store_cols:
@@ -1508,6 +1511,66 @@ class IndexQueryEngine:
         else:
             out = out.drop("shard")
         return out.orderBy("doc_id")
+
+    def join_filter_topk(
+        self,
+        query: str,
+        join_query: str,
+        join_from: str,
+        join_to: str,
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr join qparser ``{!join from=<f> to=<t>}<join_query>``
+        composed with a scored main query: rank ``query``'s matches
+        restricted to docs whose ``join_to`` stored value appears
+        among the ``join_from`` values of docs matching
+        ``join_query`` — the cross-collection filter Solr serves for
+        "docs related to docs that match X" (the reference's
+        two-step marker->result pattern, GxdProfileMarkerIndexer:
+        search markers, then fetch results keyed by them). Like
+        Solr, the join contributes NO score; the main query ranks.
+
+        Plan shape: the inner query resolves to its distinct
+        ``join_from`` value set through the shard-local facet path
+        (``facet_counts_stored`` machinery — only tiny per-shard
+        value rows shuffle), the bounded set broadcasts as a pyarrow
+        ``in`` filter, and the main query runs the filtered-retrieval
+        worker plan (``_topk_filtered``): each shard masks its scored
+        matches against its own doc-store partition. Join keys are
+        low-cardinality stored attributes by contract (Solr's join
+        performs the same way); a high-cardinality key belongs in
+        ``export_matches`` + a Spark join instead.
+
+        -> (doc_id, score) global top-k of the restricted set."""
+        store_types = {
+            f.name: f.dataType for f in self._doc_store_schema().fields
+        }
+        for c in (join_from, join_to):
+            if c not in store_types:
+                raise ValueError(
+                    f"join column {c!r} is not in the doc store "
+                    f"(has: {sorted(store_types)})"
+                )
+            if not isinstance(store_types[c], T.StringType):
+                # the facet path (and Solr's own join) keys on strings
+                raise ValueError(
+                    f"join column {c!r} must be a string stored "
+                    f"attribute (is {store_types[c].simpleString()})"
+                )
+        vals = [
+            r[join_from]
+            for r in self.facet_counts_stored(join_query, by=join_from)
+            .select(join_from)
+            .collect()
+            if r[join_from] is not None
+        ]
+        spec = self.make_spec(query, fields)
+        if not spec.term_weights or not vals:
+            return _empty_df(self.spark, _HITS_SCHEMA)
+        return self._topk_filtered(
+            spec, k, [(join_to, "in", sorted(set(vals)))]
+        )
 
     def explain_score(
         self,

@@ -330,6 +330,35 @@ def test_facet_stats_grouped_and_missing(built, spark):
     assert any(r["n_missing"] > 0 for r in got.values())
 
 
+def test_join_filter_topk_matches_oracle(built, spark):
+    """Solr join qparser: main-query ranking restricted to docs whose
+    join_to value appears among the join_from values of the inner
+    query's matches; the join never contributes score."""
+    idx, pdocs = built
+    eng = IndexQueryEngine(spark, idx)
+    mq, jq = "getIndexList if return", "lang:py"
+    lang = dict(zip(pdocs["doc_id"].astype(int), pdocs["lang"]))
+    allowed = {"py"}  # the scoped inner query matches exactly lang=py
+    scores = _oracle_scores(pdocs, mq)
+    keep = {d: s for d, s in scores.items() if lang[d] in allowed}
+    assert keep and len(keep) < len(scores)  # the join must restrict
+    want = sorted(keep.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = eng.join_filter_topk(
+        mq, jq, join_from="lang", join_to="lang", k=10
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+    # inner query matching nothing -> empty result, no crash
+    assert eng.join_filter_topk(
+        mq, "zzznotaterm", join_from="lang", join_to="lang"
+    ).collect() == []
+    with pytest.raises(ValueError, match="must be a string"):
+        eng.join_filter_topk(mq, jq, join_from="n_chars", join_to="lang")
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.join_filter_topk(mq, jq, join_from="nope", join_to="lang")
+
+
 def test_explain_score_decomposes_topk(built, spark):
     """debugQuery/explain: per-term contributions sum EXACTLY to the
     doc's topk score; boolean-excluded and non-matching docs explain
