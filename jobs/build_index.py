@@ -53,6 +53,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="query string; repeatable")
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--mode", choices=["wand", "taat"], default="wand")
+    p.add_argument("--where", default=None,
+                   help="Solr fq analog: stored-attribute predicate, "
+                        "e.g. \"n_chars < 300 and lang == 'en'\"")
+    p.add_argument("--sort-by", default=None,
+                   help="serve the match set ordered by this STORED "
+                        "doc-store column instead of BM25 (the "
+                        "reference's R_BY_* contract)")
+    p.add_argument("--desc", action="store_true",
+                   help="with --sort-by: descending order")
+    p.add_argument("--offset", type=int, default=0,
+                   help="with --sort-by: page offset")
+    p.add_argument("--explain", action="store_true",
+                   help="print the per-term score decomposition "
+                        "(Solr debugQuery) for each hit")
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="build-index", master=args.master)
@@ -82,20 +96,43 @@ def main(argv: list[str] | None = None) -> int:
             eng = IndexQueryEngine(spark, args.index_dir)
             for q in args.query:
                 t0 = time.monotonic()
-                hits = eng.topk(q, k=args.topk, mode=args.mode).collect()
+                if args.sort_by:
+                    hits = eng.sorted_matches(
+                        q, by=args.sort_by, k=args.topk,
+                        offset=args.offset, ascending=not args.desc,
+                        where=args.where,
+                    ).collect()
+                    rows = [
+                        {"doc_id": r["doc_id"], args.sort_by: r[args.sort_by]}
+                        for r in hits
+                    ]
+                else:
+                    hits = eng.topk(
+                        q, k=args.topk, mode=args.mode, where=args.where
+                    ).collect()
+                    rows = [
+                        {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+                        for r in hits
+                    ]
                 ms = (time.monotonic() - t0) * 1000
-                print(
-                    json.dumps(
-                        {
-                            "query": q,
-                            "latency_ms": round(ms, 1),
-                            "hits": [
-                                {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
-                                for r in hits
-                            ],
-                        }
-                    )
-                )
+                out = {"query": q, "latency_ms": round(ms, 1), "hits": rows}
+                if args.explain and not args.sort_by:
+                    out["explain"] = {
+                        str(r["doc_id"]): [
+                            {
+                                "term": e["term"],
+                                "field": e["field"],
+                                "df": e["df"],
+                                "tf": e["tf"],
+                                "contribution": round(e["contribution"], 6),
+                            }
+                            for e in eng.explain_score(
+                                q, r["doc_id"]
+                            ).collect()
+                        ]
+                        for r in hits[: min(3, len(hits))]
+                    }
+                print(json.dumps(out))
         return 0
     finally:
         spark.stop()
