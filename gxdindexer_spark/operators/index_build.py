@@ -1154,6 +1154,69 @@ def update_docs(
     return metrics
 
 
+def attach_stored_column(
+    spark: SparkSession,
+    index_dir: str,
+    values: DataFrame,
+    column: str,
+) -> dict:
+    """Bulk docvalues attach: add (or replace) ONE stored doc-store
+    column across the whole index from a ``(doc_id, <column>)``
+    DataFrame — the reference's precomputed-rank-table pattern
+    (GxdResultIndexer.java:869-883 computes R_BY_* sort ranks in a
+    separate pass, then every query sorts on them) as a first-class
+    index operation: compute ranks with any Spark window/agg job,
+    attach them here, and ``sorted_matches``/facets/stats serve the
+    new column immediately. Postings, dictionary and corpus stats are
+    untouched by construction — this is ``update_docs``' docvalues
+    path at corpus scale.
+
+    Scale shape: ONE distributed job — the doc store left-joins the
+    values on doc_id (co-partitioned by repartitioning on shard
+    before the partitioned write, so each output partition writes
+    once), lands in a tmp dir, and the whole ``docs`` artifact swaps
+    in with the compaction marker protocol (crash mid-swap replays on
+    next open). Docs absent from ``values`` get NULL (Solr's missing
+    docvalue). ``values`` must not contain duplicate doc_ids (raises
+    — a dup would fan out the join and duplicate store rows).
+
+    Engines opened before the attach keep reading their old relation
+    plans — re-open after, exactly like compaction.
+    """
+    if set(values.columns) != {"doc_id", column}:
+        raise ValueError(
+            f"values must have exactly (doc_id, {column!r}) columns, "
+            f"got {values.columns}"
+        )
+    if column in ("doc_id", "shard"):
+        raise ValueError(f"cannot attach identity column {column!r}")
+    _recover_compaction(index_dir)
+    with _WriterLock(index_dir):
+        store = spark.read.parquet(f"{index_dir}/docs")
+        vals = values.localCheckpoint()
+        n_vals = vals.count()
+        if vals.select("doc_id").distinct().count() != n_vals:
+            raise ValueError("values contains duplicate doc_ids")
+        base = store.drop(column) if column in store.columns else store
+        joined = base.join(vals, "doc_id", "left")
+        tmp = f"{index_dir}/.docs_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            joined.repartition("shard")
+            .write.partitionBy("shard")
+            .parquet(tmp)
+        )
+        _swap_dir_commit(index_dir, "docs", "docs")
+        # honest count: values for ids absent from the index dropped
+        # through the left join (column-pruned scan of the new store)
+        n_attached = (
+            spark.read.parquet(f"{index_dir}/docs")
+            .filter(F.col(column).isNotNull())
+            .count()
+        )
+    return {"column": column, "docs_with_value": int(n_attached)}
+
+
 def _swap_dir_commit(index_dir: str, rel: str, key: str) -> None:
     """Marker-bracketed atomic directory swap (the compaction
     protocol, nested-path variant): replace ``{index_dir}/{rel}``

@@ -163,6 +163,81 @@ def test_attr_swap_crash_replays(spark, tmp_path):
     ] == 111_111
 
 
+def test_attach_stored_column_rank_serving(spark, tmp_path):
+    """Bulk docvalues attach (the R_BY_* precomputed-rank pattern):
+    compute a rank column with a Spark window job, attach it, and
+    sorted_matches serves it immediately — postings untouched; docs
+    absent from the values get NULL; replacing an existing column
+    works; malformed inputs raise."""
+    from pyspark.sql import Window
+
+    from gxdindexer_spark.operators.index_build import (
+        attach_stored_column,
+    )
+
+    idx, builder, docs, pdocs = _build(spark, tmp_path, "attach")
+
+    def postings_sig():
+        return sorted(
+            (os.path.relpath(p, idx), os.path.getsize(p))
+            for p in glob.glob(f"{idx}/postings/**/*.parquet", recursive=True)
+        )
+
+    sig0 = postings_sig()
+    # rank docs by length within lang — a window job, like the
+    # reference's sort-rank tables — but only for even doc_ids so the
+    # NULL (missing docvalue) path is exercised
+    ranks = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+            .alias("r_by_len"),
+        )
+    )
+    m = attach_stored_column(spark, idx, ranks, "r_by_len")
+    assert m["docs_with_value"] == ranks.count()
+    assert postings_sig() == sig0
+    eng = IndexQueryEngine(spark, idx)
+    got = eng.sorted_matches(Q, by="r_by_len", k=5).collect()
+    want_ranks = {
+        int(r["doc_id"]): int(r["r_by_len"]) for r in ranks.collect()
+    }
+    match = {r["doc_id"] for r in eng.matching_docs(Q).collect()}
+    want = sorted(
+        ((want_ranks[d], d) for d in match if d in want_ranks),
+    )[:5]
+    assert [(r["r_by_len"], r["doc_id"]) for r in got] == want
+    # odd ids carry NULL
+    nulls = eng.get_docs([1, 3], columns=("r_by_len",)).collect()
+    assert all(r["r_by_len"] is None for r in nulls)
+    # replace: re-attach with shifted values overwrites
+    attach_stored_column(
+        spark, idx,
+        ranks.select("doc_id", (F.col("r_by_len") + 100).alias("r_by_len")),
+        "r_by_len",
+    )
+    eng2 = IndexQueryEngine(spark, idx)
+    assert (
+        eng2.get_docs([0], columns=("r_by_len",)).collect()[0]["r_by_len"]
+        == want_ranks[0] + 100
+    )
+    with pytest.raises(ValueError, match="exactly"):
+        attach_stored_column(spark, idx, docs.select("doc_id"), "x")
+    with pytest.raises(ValueError, match="duplicate"):
+        attach_stored_column(
+            spark, idx,
+            ranks.unionByName(ranks).select("doc_id", "r_by_len"),
+            "r_by_len",
+        )
+    with pytest.raises(ValueError, match="identity"):
+        attach_stored_column(
+            spark, idx, ranks.withColumnRenamed("r_by_len", "shard"),
+            "shard",
+        )
+
+
 def test_get_docs_partition_pruned_plan(spark, tmp_path):
     idx, builder, docs, pdocs = _build(spark, tmp_path, "get")
     eng = IndexQueryEngine(spark, idx)
