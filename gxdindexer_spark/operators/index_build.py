@@ -1217,6 +1217,66 @@ def attach_stored_column(
     return {"column": column, "docs_with_value": int(n_attached)}
 
 
+def backup_index(index_dir: str, dest_dir: str) -> dict:
+    """Consistent point-in-time copy of a committed index — the Solr
+    admin backup analog (the reference has no backup story beyond
+    re-running the build). Holds the writer lock for the duration so
+    no build/compaction/update mutates artifacts mid-copy; readers
+    are unaffected (they never take the lock). Pending swaps are
+    replayed first, so the copy is always a committed snapshot.
+
+    The lock file and in-flight swap temporaries (dot-prefixed) are
+    excluded — a restore must not resurrect another writer's lock
+    state. Local-filesystem ``copytree`` here; on a cluster the same
+    artifact set copies via distcp / object-store copy — the layout
+    is plain parquet + json either way.
+
+    -> {"files": n, "bytes": n}."""
+    if os.path.exists(dest_dir) and os.listdir(dest_dir):
+        raise ValueError(f"backup destination {dest_dir!r} is not empty")
+    with _WriterLock(index_dir):
+        _recover_compaction(index_dir)
+        os.makedirs(dest_dir, exist_ok=True)
+        for name in sorted(os.listdir(index_dir)):
+            if name.startswith(".") or name == "_writer.lock":
+                continue
+            src = f"{index_dir}/{name}"
+            dst = f"{dest_dir}/{name}"
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
+        n_files = n_bytes = 0
+        for root, _dirs, files in os.walk(dest_dir):
+            for f in files:
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, f))
+    return {"files": n_files, "bytes": n_bytes}
+
+
+def restore_index(backup_dir: str, dest_dir: str) -> dict:
+    """Restore a ``backup_index`` snapshot into ``dest_dir`` (must be
+    empty/absent — restoring over a live index is refused rather than
+    half-merged). The restored directory is immediately queryable and
+    writable; it acquires its own fresh writer-lock file on first
+    mutation."""
+    if not os.path.isfile(f"{backup_dir}/manifest.json"):
+        raise ValueError(f"{backup_dir!r} is not an index backup")
+    if os.path.exists(dest_dir) and os.listdir(dest_dir):
+        raise ValueError(f"restore destination {dest_dir!r} is not empty")
+    os.makedirs(dest_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(backup_dir)):
+        src = f"{backup_dir}/{name}"
+        dst = f"{dest_dir}/{name}"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+        n += 1
+    return {"artifacts": n}
+
+
 def _swap_dir_commit(index_dir: str, rel: str, key: str) -> None:
     """Marker-bracketed atomic directory swap (the compaction
     protocol, nested-path variant): replace ``{index_dir}/{rel}``

@@ -163,6 +163,53 @@ def test_attr_swap_crash_replays(spark, tmp_path):
     ] == 111_111
 
 
+def test_backup_restore_roundtrip(spark, tmp_path):
+    """Backup is a consistent committed snapshot: mutations to the
+    original after the backup don't leak in, the restored index
+    serves the pre-mutation results, and the original keeps its
+    post-mutation state. Guards: non-empty destinations and
+    non-backup sources are refused; the writer lock file is not
+    copied."""
+    from gxdindexer_spark.operators.index_build import (
+        backup_index,
+        restore_index,
+    )
+
+    idx, builder, docs, _ = _build(spark, tmp_path, "bak")
+    eng = IndexQueryEngine(spark, idx)
+    before = [(r["doc_id"], r["score"]) for r in eng.topk(Q, k=10).collect()]
+    bak = str(tmp_path / "bak_snapshot")
+    m = backup_index(idx, bak)
+    assert m["files"] > 0 and m["bytes"] > 0
+    assert not os.path.exists(f"{bak}/_writer.lock")
+    # mutate the original AFTER the backup
+    victim = before[0][0]
+    delete_docs(spark, idx, builder, [victim], assume_dense_shards=True)
+    after = [
+        (r["doc_id"], r["score"])
+        for r in IndexQueryEngine(spark, idx).topk(Q, k=10).collect()
+    ]
+    assert after != before and victim not in {d for d, _s in after}
+    # restore serves the pre-mutation snapshot
+    rest = str(tmp_path / "restored")
+    restore_index(bak, rest)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in IndexQueryEngine(spark, rest).topk(Q, k=10).collect()
+    ]
+    assert got == before
+    # the restored index is writable (fresh lock state)
+    delete_docs(spark, rest, builder, [victim], assume_dense_shards=True)
+    assert [
+        (r["doc_id"], r["score"])
+        for r in IndexQueryEngine(spark, rest).topk(Q, k=10).collect()
+    ] == after
+    with pytest.raises(ValueError, match="not empty"):
+        backup_index(idx, bak)
+    with pytest.raises(ValueError, match="not an index backup"):
+        restore_index(str(tmp_path), str(tmp_path / "nope"))
+
+
 def test_attach_stored_column_rank_serving(spark, tmp_path):
     """Bulk docvalues attach (the R_BY_* precomputed-rank pattern):
     compute a rank column with a Spark window job, attach it, and
