@@ -190,6 +190,32 @@ class FederatedQueryEngine:
         merged = reduce(DataFrame.unionByName, parts)
         return merged.groupBy(by).agg(F.sum("n_docs").alias("n_docs"))
 
+    def facet_ranges_stored(
+        self, query: str, by: str, start: int, end: int, gap: int,
+        fields=None,
+    ):
+        """Federated facet.range: member bucket counts sum."""
+        parts = [
+            e.facet_ranges_stored(query, by, start, end, gap, fields)
+            for e in self.engines
+        ]
+        merged = reduce(DataFrame.unionByName, parts)
+        return merged.groupBy("bucket_start").agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+
+    def facet_pivot_stored(self, query: str, by_a: str, by_b: str,
+                           fields=None):
+        """Federated facet.pivot: member pair counts sum."""
+        parts = [
+            e.facet_pivot_stored(query, by_a, by_b, fields)
+            for e in self.engines
+        ]
+        merged = reduce(DataFrame.unionByName, parts)
+        return merged.groupBy(by_a, by_b).agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+
     def sorted_matches(
         self,
         query: str,

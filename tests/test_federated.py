@@ -150,6 +150,29 @@ def test_federated_serving_surfaces_equal_single(built, spark):
         for r in fed.export_matches(q, by="path").collect()
     ]
     assert eg == ew and len(ew) > 7
+    # range + pivot facets sum like value facets
+    rw = {
+        (r["bucket_start"], r["n_docs"])
+        for r in single.facet_ranges_stored(
+            q, by="doc_id", start=0, end=240, gap=60
+        ).collect()
+    }
+    rg = {
+        (r["bucket_start"], r["n_docs"])
+        for r in fed.facet_ranges_stored(
+            q, by="doc_id", start=0, end=240, gap=60
+        ).collect()
+    }
+    assert rg == rw and rw
+    pw = {
+        (r["lang"], r["repo"], r["n_docs"])
+        for r in single.facet_pivot_stored(q, "lang", "repo").collect()
+    }
+    pg = {
+        (r["lang"], r["repo"], r["n_docs"])
+        for r in fed.facet_pivot_stored(q, "lang", "repo").collect()
+    }
+    assert pg == pw and pw
 
 
 def test_federated_rejects_mismatched_params(built, spark, tmp_path):
