@@ -174,6 +174,42 @@ def ann_maintenance(
     return run
 
 
+def backup_task(
+    index_dir: str,
+    backup_root: str,
+    keep: int = 3,
+):
+    """Build-callable factory: scheduled index backup (Solr's backup
+    API run from a cron, here a ``run_builds`` entry). Each run
+    snapshots ``index_dir`` into ``backup_root/<monotonic-n>`` via
+    ``index_build.backup_index`` (consistent: writer-lock held,
+    pending swaps replayed) and prunes to the newest ``keep``
+    snapshots — bounded retention, the Solr ``maxNumberOfBackups``
+    contract. Returns the snapshot path + copy stats so timings.json
+    records the backup like any other job."""
+
+    def run(spark: SparkSession) -> dict:
+        import shutil
+
+        from gxdindexer_spark.operators.index_build import backup_index
+
+        os.makedirs(backup_root, exist_ok=True)
+        existing = sorted(
+            (d for d in os.listdir(backup_root) if d.isdigit()),
+            key=int,
+        )
+        nxt = (int(existing[-1]) + 1) if existing else 1
+        dest = os.path.join(backup_root, str(nxt))
+        stats = backup_index(index_dir, dest)
+        pruned = []
+        for d in existing[: max(0, len(existing) + 1 - keep)]:
+            shutil.rmtree(os.path.join(backup_root, d), ignore_errors=True)
+            pruned.append(d)
+        return {"snapshot": dest, "pruned": pruned, **stats}
+
+    return run
+
+
 def main(argv: list[str] | None = None) -> int:
     from gxdindexer_spark.operators.index_build import IndexBuilder
     from gxdindexer_spark.session import get_spark

@@ -185,3 +185,36 @@ def test_orchestrated_ann_maintenance_retrains_on_drift(spark, tmp_path):
         timings,
     )
     assert not results2["ann_maintenance"]["retrained"]
+
+
+def test_orchestrated_backup_rotation(spark, tmp_path):
+    """backup_task snapshots the index through run_builds and prunes
+    to the newest `keep` snapshots; each snapshot is a restorable,
+    queryable index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gxdindexer_spark.operators.index_build import IndexBuilder
+    from gxdindexer_spark.operators.query import IndexQueryEngine
+    from gxdindexer_spark.sources.synth import generate_corpus
+    from gxdindexer_spark.sources.tables import prepare_docs
+    from jobs.orchestrate import backup_task, run_builds
+
+    idx = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 60, seed=3, partitions=2)
+    docs = prepare_docs(corpus, docs_per_shard=30, partitions=2)
+    IndexBuilder(docs_per_shard=30, salt_range=16, block_size=16).build(
+        docs, idx, resume=False
+    )
+    root = str(tmp_path / "backups")
+    timings = str(tmp_path / "timings.json")
+    task = backup_task(idx, root, keep=2)
+    for i in range(3):
+        res = run_builds(spark, {"backup": task}, timings)
+        assert res["backup"]["files"] > 0
+    kept = sorted(os.listdir(root), key=int)
+    assert kept == ["2", "3"]  # keep=2 pruned snapshot 1
+    # a kept snapshot serves queries directly (it IS an index layout)
+    eng = IndexQueryEngine(spark, os.path.join(root, "3"))
+    assert eng.topk("parseIndexList if", k=3).collect()
