@@ -44,8 +44,10 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gxdindexer_spark.operators.index_build import _WriterLock
 from gxdindexer_spark.operators.similarity import (
@@ -766,8 +768,8 @@ class AnnIndex:
     ) -> DataFrame:
         """Near-dup pairs with BOUNDED bucket fan-in: band the stored
         ``bucket`` signature minhash-LSH-style (dedup.minhash_lsh_pairs
-        shape) — ``bands`` independent ``rows_per_band``-bit slices,
-        self-join per (band, slice), union, distinct, cosine filter.
+        shape) — ``bands`` independent ``rows_per_band``-bit slices;
+        candidate pairs agree on ANY one slice; cosine filter.
 
         Why this scales where the single-bucket join doesn't: the
         single join's per-bucket cost is (n/2^n_planes)^2 — raising
@@ -778,6 +780,31 @@ class AnnIndex:
         holds recall up. Band slices come straight off the stored
         bucket bits — zero signature recompute; with a larger persisted
         n_planes, bands*rows_per_band scales to any corpus size.
+
+        Plan shape (optimization guide §2.3/§4.2 — decide with small
+        rows via native kernels, materialize only survivors): a pair
+        self-JOIN on the slice key would materialize sum(n_slice^2)/2
+        candidate ROWS before the cosine filter (measured 3x10^8 rows
+        at a 20k-vector bench corpus — 275 s); instead each
+        (band, slice) group runs ONE applyInPandas worker that
+        computes the group's cosine matrix in blocked numpy/BLAS and
+        emits ONLY the pairs at >= threshold minus a 2e-6 safety
+        margin (covering round-half-up at 6 decimals plus the
+        matmul's ~1e-14 accumulation-order difference, so the
+        prefilter can only ADD borderline candidates, never drop a
+        true one; non-finite cosines — zero-norm vectors — are kept
+        and judged by the final filter exactly as before). Surviving
+        pairs carry an EXACT cosine recomputed in the worker with the
+        same IEEE-double operation sequence as the former Spark HOF
+        expression (elementwise product, left-to-right fold in
+        float64, sqrt, one multiply, one divide — each step a single
+        correctly-rounded IEEE op, so the double is bit-identical to
+        ``similarity.cosine`` and to the DuckDB oracle's
+        list_dot_product); Spark then dedups across bands (identical
+        bits collapse) and applies the unchanged round(·, 6) >=
+        threshold filter. Per-group worker memory is
+        O(group_rows x dim) for the vectors plus a bounded
+        2048 x group_rows score block.
         -> (id_a, id_b, cos), distinct, id_a < id_b.
         """
         n_planes = int(self.meta["n_planes"])
@@ -787,51 +814,99 @@ class AnnIndex:
                 f"bands*rows_per_band={bands * rows_per_band} exceeds the "
                 f"persisted n_planes={n_planes}; rebuild with more planes"
             )
-        # candidate generation carries ONLY (vid, band, sig) int rows —
-        # vectors hydrate in AFTER the distinct, so a pair found by
-        # several bands costs one cosine, and the band shuffle moves
-        # 3 ints/row instead of the embedding
-        ids = self._lsh.select(F.col("vec_id").alias("vid"), "bucket")
+        base = self._lsh.select(
+            F.col("vec_id").alias("vid"), "embedding", "bucket"
+        )
         mask = (1 << rows_per_band) - 1
         sliced = None
         for bi in range(bands):
-            part = ids.select(
+            part = base.select(
                 "vid",
+                "embedding",
                 F.lit(bi).alias("band"),
                 F.shiftright("bucket", bi * rows_per_band)
                 .bitwiseAND(F.lit(mask))
                 .alias("sig"),
             )
             sliced = part if sliced is None else sliced.unionAll(part)
-        a, b = sliced.alias("a"), sliced.alias("b")
+        thr_pre = float(threshold) - 2e-6  # margin: see docstring
+        pair_schema = T.StructType(
+            [
+                T.StructField("id_a", T.LongType(), False),
+                T.StructField("id_b", T.LongType(), False),
+                T.StructField("cos_raw", T.DoubleType(), True),
+            ]
+        )
+
+        def _fold_dot(A: np.ndarray, Bv: np.ndarray) -> np.ndarray:
+            """Left-to-right float64 fold of sum(A*B) — the exact
+            operation sequence of ``similarity._dot``'s SQL aggregate
+            (product per element, sequential accumulation), vectorized
+            ACROSS pairs so every pair's double is bit-identical to
+            the HOF expression's."""
+            P = A * Bv
+            acc = np.zeros(len(P), dtype=np.float64)
+            for d_i in range(P.shape[1]):
+                acc += P[:, d_i]
+            return acc
+
+        def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cos_raw": np.array([], dtype=np.float64),
+                }
+            )
+            n = len(pdf)
+            if n < 2:
+                return empty
+            ids = pdf["vid"].to_numpy(np.int64)
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # exact norms: same sequential fold as similarity._norm
+            norm_exact = np.sqrt(_fold_dot(V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / norm_exact[:, None]
+            out_a, out_b, out_c = [], [], []
+            B = 2048  # bounds the score block at 2048 x n doubles
+            for i0 in range(0, n, B):
+                C = Vn[i0 : i0 + B] @ Vn.T
+                # keep non-finite scores (zero-norm vectors): the
+                # exact filter decides them, same as the old plan
+                keep = (C >= thr_pre) | ~np.isfinite(C)
+                ii, jj = np.nonzero(keep)
+                ia, ib = ids[i0 + ii], ids[jj]
+                m = ia < ib  # full matrix -> keep one orientation
+                if not m.any():
+                    continue
+                ai, bi = (i0 + ii)[m], jj[m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _fold_dot(V[ai], V[bi]) / (
+                        norm_exact[ai] * norm_exact[bi]
+                    )
+                out_a.append(ids[ai])
+                out_b.append(ids[bi])
+                out_c.append(cos)
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
         cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col("a.vid") < F.col("b.vid")),
-            )
-            .select(
-                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
-            )
-            .distinct()
+            sliced.groupBy("band", "sig")
+            .applyInPandas(group_pairs, schema=pair_schema)
+            .distinct()  # same pair from several bands: identical bits
         )
-        vecs = self._lsh.select(
-            F.col("vec_id").alias("vid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-        return (
-            cand.join(vecs.alias("va"), F.col("id_a") == F.col("va.vid"))
-            .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.vid"))
-            .select(
-                "id_a",
-                "id_b",
-                F.round(
-                    cosine(F.col("va.v"), F.col("vb.v")), 6
-                ).alias("cos"),
-            )
-            .filter(F.col("cos") >= threshold)
-        )
+        return cand.select(
+            "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+        ).filter(F.col("cos") >= threshold)
 
     # ------------------------------------------------------------- IVF
 
