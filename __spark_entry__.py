@@ -970,8 +970,12 @@ def tokenize_tf_top50(spark, sf_dir):
     tf, global df) for the top-TV_K hits of BM25_QUERY, re-analyzed
     from stored text O(k docs) with df from the pruned dictionary
     lookup (query.term_vectors)."""
+    from gxdindexer_spark.functions.partitioning import spread
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # fan the one-file scan out before the tokenize explode (the whole
+    # corpus-wide pass otherwise runs as ONE task)
+    toks = spread(d).select(
         "doc_id",
         F.explode(
             F.filter(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gxdindexer_spark.functions.partitioning import spread
+
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
 # fixed Carter-Wegman coefficients (deterministic, shared with oracle)
 MINHASH_AS = [1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
@@ -59,6 +61,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: canonical row per sha2(text) = min(id). Returns
     (doc_id, canonical_id, n_copies) for every row."""
     h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    # no spread here: one sha2 per row is far cheaper than the extra
+    # exchange it would add (measured 0.7s -> 1.5s WITH it at sf1.0)
     hashed = df.select(F.col(id_col).alias("doc_id"), h.alias("h"))
     groups = hashed.groupBy("h").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
@@ -80,7 +84,10 @@ def minhash_signatures(
     (doc, hash) not per shingle.
     """
     assert num_hashes <= len(MINHASH_AS)
-    sh = df.select(
+    # fan a narrow scan out before the shingle explode: a one-file
+    # corpus otherwise evaluates the whole (expensive) shingle fold +
+    # md5 pass in ONE task (partitioning.spread docstring)
+    sh = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -114,6 +121,12 @@ def minhash_lsh_pairs(
     this is the scale path that replaces the exact pairwise Jaccard.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    # materialize the signature table once (tiny: one row per doc):
+    # the banded self-join otherwise re-runs the shingle explode +
+    # 8-way min aggregation once per band per join side — 8 full
+    # tokenize passes at bands=4 (guide §2.4: share one computation;
+    # localCheckpoint also truncates the self-join's doubled lineage)
+    sig = sig.localCheckpoint(eager=False)
     rows = num_hashes // bands
     bands_df = None
     for bi in range(bands):
@@ -153,7 +166,7 @@ def ngram_jaccard_pairs(
     Small-scale ground truth for the LSH variant; at 100 TB run LSH
     first and compute exact Jaccard only on candidate pairs.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
@@ -198,7 +211,7 @@ def simhash(
     it bit-for-bit. ``bits`` defaults to 16 for the oracle-checked
     entry; the engine supports up to 60.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(
@@ -207,12 +220,18 @@ def simhash(
             )
         ).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    x = md5_int60(F.col("tok"))
+    # materialize the token hash ONCE per (doc, tok) row: each of the
+    # ``bits`` sum-aggregates references it, and as a bare expression
+    # the md5+conv would be re-evaluated per bit (16x per row)
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("x", md5_int60(F.col("tok")))
+    )
     aggs = [
         F.sum(
             F.col("tf")
-            * (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1)
+            * (F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]

@@ -157,9 +157,15 @@ class IndexQueryEngine:
         with open(f"{index_dir}/manifest.json") as fh:
             self.manifest = json.load(fh)
         self.fields: dict[str, str] = self.manifest["fields"]
-        cs = spark.read.parquet(f"{index_dir}/corpus_stats").collect()
-        self.n_docs = {r["field"]: int(r["n_docs"]) for r in cs}
-        self.avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
+        cs = self._read_tiny_artifact(
+            f"{index_dir}/corpus_stats", ["field", "n_docs", "avgdl"]
+        )
+        self.n_docs = {
+            f: int(n) for f, n in zip(cs["field"], cs["n_docs"])
+        }
+        self.avgdl = {
+            f: float(a) for f, a in zip(cs["field"], cs["avgdl"])
+        }
         # one relation per artifact, reused across queries: the parquet
         # file index (directory listing + footer schema read) is built
         # once per engine instead of once per query — at 10^6 shard
@@ -181,11 +187,32 @@ class IndexQueryEngine:
         )
         self._dict_cache: dict[tuple[str, str], int] | None = None
         if preload_dictionary:
-            d = self._dictionary
-            if d.count() <= preload_dictionary:
-                self._dict_cache = {
-                    (r["field"], r["term"]): int(r["df"]) for r in d.collect()
-                }
+            # footer row counts first (metadata-only), full read only
+            # under the cap — and both through pyarrow, not Spark: the
+            # former count()+collect() cost TWO driver-blocking Spark
+            # jobs (~0.5s of every engine construction); the artifact
+            # is a handful of small local/shared-fs parquet files
+            # (falls back to the Spark path if pyarrow cannot reach
+            # the filesystem)
+            try:
+                n_rows = self._count_rows(f"{index_dir}/dictionary")
+                if n_rows is not None and n_rows <= preload_dictionary:
+                    tbl = self._read_tiny_artifact(
+                        f"{index_dir}/dictionary", ["field", "term", "df"]
+                    )
+                    self._dict_cache = {
+                        (f, t): int(df)
+                        for f, t, df in zip(
+                            tbl["field"], tbl["term"], tbl["df"]
+                        )
+                    }
+            except Exception:  # noqa: BLE001 — non-local fs: Spark path
+                d = self._dictionary
+                if d.count() <= preload_dictionary:
+                    self._dict_cache = {
+                        (r["field"], r["term"]): int(r["df"])
+                        for r in d.collect()
+                    }
         self.weights = {
             f: w for f, w in bm25.field_weights().items() if f in self.fields
         }
@@ -197,6 +224,36 @@ class IndexQueryEngine:
         # the stored bounds are stale and pruning would be UNSAFE — in
         # that case WAND transparently falls back to exact TAAT.
         self.blockmax_safe = self._check_blockmax_safe()
+
+    def _read_tiny_artifact(
+        self, path: str, columns: list[str]
+    ) -> dict[str, list]:
+        """Columns of a small parquet artifact as python lists —
+        read with pyarrow directly (zero Spark jobs; engine init used
+        to pay one driver-blocking job per artifact), falling back to
+        a Spark collect for filesystems pyarrow cannot open."""
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(path, columns=columns)
+            return {c: tbl[c].to_pylist() for c in columns}
+        except Exception:  # noqa: BLE001 — non-local fs
+            rows = self.spark.read.parquet(path).select(*columns).collect()
+            return {c: [r[c] for r in rows] for c in columns}
+
+    @staticmethod
+    def _count_rows(path: str) -> int | None:
+        """Row count of a flat parquet dir from file footers only
+        (metadata read, no data pages); None when the layout is not
+        plain ``*.parquet`` files."""
+        import glob as glob_mod
+
+        import pyarrow.parquet as pq
+
+        files = glob_mod.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def _check_blockmax_safe(self) -> bool:
         # one consolidated-ledger read (O(1) driver I/O, not O(shards))

@@ -93,14 +93,20 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: argmax of per-language hit counts,
     deterministic tiebreak by language code; 'und' when all zero."""
-    toks = _tokens(F.col(text_col))
-    scored = df
+    # tokenize ONCE into a real column: as a bare expression the
+    # lower+split+filter would be re-evaluated per language profile
+    # (4x per row) — the per-language hit counts then filter the
+    # shared array. spread: fan a narrow one-file scan out before the
+    # per-row work (functions/partitioning.py)
+    from gxdindexer_spark.functions.partitioning import spread
+
+    scored = spread(df).withColumn("_toks", _tokens(F.col(text_col)))
     for lang, words in sorted(LANG_PROFILES.items()):
         # NB: the lambda must take exactly one arg — a second arg would
         # be bound by Spark to the array index, not our closure.
         pred = (lambda w: (lambda x: x.isin(w)))(words)
         scored = scored.withColumn(
-            f"_hits_{lang}", F.size(F.filter(toks, pred))
+            f"_hits_{lang}", F.size(F.filter(F.col("_toks"), pred))
         )
     langs = sorted(LANG_PROFILES)
     best = F.greatest(*[F.col(f"_hits_{lg}") for lg in langs])
@@ -111,7 +117,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             pred
         )
     return scored.withColumn("lang_pred", pred).drop(
-        *[f"_hits_{lg}" for lg in langs]
+        "_toks", *[f"_hits_{lg}" for lg in langs]
     )
 
 
