@@ -178,6 +178,71 @@ def cmd_ann_build(spark) -> dict:
     return t
 
 
+def cmd_mutate(spark) -> dict:
+    """bench.py's federated + incremental-maintenance tail, isolated
+    (1-shot mutations on a fresh build, same params as bench.py)."""
+    from gxdindexer_spark.operators.federated import FederatedQueryEngine
+    from gxdindexer_spark.operators.index_build import (
+        IndexBuilder, delete_docs, update_docs,
+    )
+
+    t: dict = {}
+    idx = "/tmp/gxdidx_bxmut"
+    builder = IndexBuilder(
+        fields={"content": "simple"}, docs_per_shard=1000,
+        salt_range=512, block_size=128,
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.monotonic()
+    m = builder.build(entrymod._docs_for_index(spark, SF_DIR), idx,
+                      resume=False)
+    t["index_build"] = round(time.monotonic() - t0, 3)
+    fed_dirs = []
+    t0 = time.monotonic()
+    for tag, par in (("_fedA", 0), ("_fedB", 1)):
+        shutil.rmtree(idx + tag, ignore_errors=True)
+        IndexBuilder(
+            fields={"content": "simple"}, docs_per_shard=1000,
+            salt_range=512, block_size=128,
+        ).build(
+            entrymod._docs_for_index(spark, SF_DIR).filter(
+                F.col("doc_id") % 2 == par
+            ),
+            idx + tag, resume=True,
+        )
+        fed_dirs.append(idx + tag)
+    t["fed_build_2members"] = round(time.monotonic() - t0, 3)
+    fed = FederatedQueryEngine(spark, fed_dirs)
+    _timed(t, "bm25_federated",
+           lambda: fed.topk("spark join table group", k=20).collect())
+    n_sh = m["shards_total"]
+    delta = (
+        entrymod._docs_for_index(spark, SF_DIR)
+        .filter(F.col("shard") == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n_sh * 1000))
+        .withColumn("shard", (F.col("doc_id") / 1000).cast("int"))
+    )
+    t0 = time.monotonic()
+    m_app = builder.build(delta, idx, resume=True, append=True)
+    t["index_append_1shard"] = round(time.monotonic() - t0, 3)
+    assert m_app["finalize_mode"] == "incremental", m_app
+    t0 = time.monotonic()
+    delete_docs(spark, idx, builder, [10, 11, 1500],
+                assume_dense_shards=True)
+    t["delete_docs_2shards"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    update_docs(spark, idx, builder,
+                {20: {"content": "spark table join group window merge"}},
+                assume_dense_shards=True)
+    t["update_content_1shard"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    update_docs(spark, idx, builder,
+                {21: {"n_chars": 123456}, 2200: {"n_chars": 654321}},
+                assume_dense_shards=True)
+    t["update_attrs_docvalues"] = round(time.monotonic() - t0, 3)
+    return t
+
+
 def main() -> int:
     sub = sys.argv[1]
     spark = get_spark(app_name=f"bench-extra-{sub}", master=f"local[{CPUS}]")
@@ -195,6 +260,8 @@ def main() -> int:
         t = cmd_builder(spark)
     elif sub == "ann_build":
         t = cmd_ann_build(spark)
+    elif sub == "mutate":
+        t = cmd_mutate(spark)
     else:
         raise SystemExit(f"unknown subcommand {sub!r}")
     _emit(sub, t)

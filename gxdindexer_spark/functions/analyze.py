@@ -135,41 +135,47 @@ def term_freqs(
     of a base token ALSO emits each synonym, sharing the original's
     position, so dl/avgdl are untouched (discountOverlaps) while the
     synonym terms gain postings and df.
-    Vectorized: explode + groupby, no per-row loops outside the
-    regex scan itself.
+    Vectorized end-to-end like ``term_freqs_positions`` (same flat
+    tokenize + factorize + lexsort + boundary-count aggregation, just
+    without the positions payload) — the former pandas
+    explode+groupby was the slower half of the non-positional
+    tokenize stage.
     """
-    toks = TOKENIZERS[tokenizer](texts)
-    dl = original_token_counts(texts, tokenizer)
-    frame = pd.DataFrame(
-        {"doc_id": doc_ids.to_numpy(), "term": toks, "dl": dl.to_numpy()}
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype=np.int64),
+            "dl": pd.Series([], dtype=np.int64),
+        }
     )
-    frame = frame.explode("term", ignore_index=True)
-    frame = frame[frame["term"].notna()]
-    if synonyms and len(frame):
-        extra = frame.merge(_synonym_pairs(synonyms), on="term", how="inner")
+    doc_idx, terms, _pos, dl_per_doc = _flat_positions(texts, tokenizer)
+    if synonyms and len(terms):
+        flat = pd.DataFrame({"di": doc_idx, "term": terms})
+        extra = flat.merge(_synonym_pairs(synonyms), on="term", how="inner")
         if len(extra):
-            extra = extra.drop(columns=["term"]).rename(
-                columns={"_syn": "term"}
+            doc_idx = np.concatenate(
+                [doc_idx, extra["di"].to_numpy(np.int64)]
             )
-            frame = pd.concat(
-                [frame, extra[frame.columns]], ignore_index=True
-            )
-    if frame.empty:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype=np.int64),
-                "term": pd.Series([], dtype=object),
-                "tf": pd.Series([], dtype=np.int64),
-                "dl": pd.Series([], dtype=np.int64),
-            }
-        )
-    out = (
-        frame.groupby(["doc_id", "term", "dl"], sort=False)
-        .size()
-        .rename("tf")
-        .reset_index()
+            terms = np.concatenate([terms, extra["_syn"].to_numpy()])
+    if not len(terms):
+        return empty
+    codes, uniq = pd.factorize(terms)
+    order = np.lexsort((codes, doc_idx))
+    d, c = doc_idx[order], codes[order]
+    group_start = np.flatnonzero(
+        np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
     )
-    return out[["doc_id", "term", "tf", "dl"]]
+    tf = np.diff(np.r_[group_start, len(d)])
+    ids_np = doc_ids.to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": ids_np[d[group_start]],
+            "term": uniq[c[group_start]],
+            "tf": tf.astype(np.int64),
+            "dl": dl_per_doc[d[group_start]],
+        }
+    )
 
 
 def _with_positions_one(toks: list[str], expand: bool) -> list[tuple[str, int]]:

@@ -244,6 +244,13 @@ def _build_ann_locked(
     version = int(old_meta.get("version", 0)) + 1 if old_meta else 0
 
     planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    # fan a narrow one-file scan out before the per-row signature
+    # fold / assignment matmul (functions/partitioning.spread): the
+    # map side of the salted repartition otherwise computes every
+    # signature in a single scan task
+    from gxdindexer_spark.functions.partitioning import spread
+
+    emb = spread(emb)
     lsh_dir = _versioned_name("lsh", version)
     ivf_dir = _versioned_name("ivf", version)
     attrs = [F.col(c) for c in attr_cols]

@@ -530,15 +530,27 @@ class IndexBuilder:
             # shuffle of the (small) doc rows buys shards-way
             # parallelism for both consumers and a bounded one-file-
             # per-shard-dir store layout (guide §2.4: two operations
-            # keyed the same way share one exchange).
-            sub = docs.filter(F.col("shard").isin(pending)).repartition(
-                F.col("shard")
+            # keyed the same way share one exchange). Skipped for
+            # point deltas (appends/updates touching a couple of
+            # shards): there the exchange costs more than the
+            # parallelism it buys.
+            wide = len(pending) > 2
+            sub = docs.filter(F.col("shard").isin(pending))
+            if wide:
+                sub = sub.repartition(F.col("shard"))
+            # the doc-store write is independent of everything the
+            # tokenize pipeline produces — submit it from a thread so
+            # its tasks back-fill cores while tokenization runs
+            # (guide §2.6: overlap independent jobs); joined below
+            # before finalize/ledger commit.
+            from concurrent.futures import ThreadPoolExecutor
+
+            bg_pool = ThreadPoolExecutor(max_workers=2)
+            docs_fut = bg_pool.submit(
+                lambda: sub.write.mode("append")
+                .partitionBy("shard")
+                .parquet(f"{index_dir}/docs")
             )
-            # doc store (carries content_sha256 invariant end-to-end)
-            sub.write.mode("append").partitionBy("shard").parquet(
-                f"{index_dir}/docs"
-            )
-            mark("docs_write")
             # tokenize ONCE; both doc_stats and postings consume it.
             # MEMORY_AND_DISK: at cluster scale this spills instead of
             # re-running the (expensive) tokenizer pass.
@@ -557,17 +569,29 @@ class IndexBuilder:
                 .agg(F.first("dl").alias("dl"))
                 .select("doc_id", "field", "dl", "shard")
             )
-            doc_stats.repartition(F.col("shard")).write.mode(
-                "append"
-            ).partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+            ds_out = (
+                doc_stats.repartition(F.col("shard")) if wide else doc_stats
+            )
+            # this write is ALSO the action that materializes the tf
+            # cache — it must finish before the concurrent dict_parts
+            # job below starts, or both jobs race to compute the
+            # tokenizer lineage
+            ds_out.write.mode("append").partitionBy("shard").parquet(
+                f"{index_dir}/doc_stats"
+            )
             # per-shard dictionary contributions: the ONLY consumer of
             # the term string; partial agg shrinks it to ~vocab rows per
-            # partition before the (small) shuffle.
-            (
-                tf.groupBy("shard", "field", "term", "term_id")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-                .repartition(F.col("shard"))
-                .write.mode("append")
+            # partition before the (small) shuffle. Reads the (now
+            # materialized) tf cache — runs concurrently with the
+            # postings pipeline below; joined before finalize, which
+            # consumes dict_parts.
+            dp = tf.groupBy("shard", "field", "term", "term_id").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            )
+            if wide:
+                dp = dp.repartition(F.col("shard"))
+            dict_parts_fut = bg_pool.submit(
+                lambda: dp.write.mode("append")
                 .partitionBy("shard")
                 .parquet(f"{index_dir}/dict_parts")
             )
@@ -603,12 +627,29 @@ class IndexBuilder:
             postings.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/postings"
             )
+            # join the overlapped writes: finalize reads dict_parts,
+            # the ledger commit asserts the doc store is complete, and
+            # tf must stay cached until its last consumer finishes
+            docs_fut.result()
+            dict_parts_fut.result()
+            bg_pool.shutdown()
             tf.unpersist()
             mark("postings")
         # global stats only change when shards did: a pure no-op resume
         # (the common "is it up to date?" probe) skips the dictionary
         # re-agg + collision check + corpus_stats rewrite entirely.
         changed = bool(pending) or bool(orphans)
+        # per-shard metrics only need postings/doc_stats (written
+        # above) — overlap the scan with finalize's dictionary work
+        # (guide §2.6); joined at the ledger step below
+        metrics_fut = None
+        if pending:
+            from concurrent.futures import ThreadPoolExecutor
+
+            metrics_pool = ThreadPoolExecutor(max_workers=1)
+            metrics_fut = metrics_pool.submit(
+                self._shard_metrics, spark, index_dir, pending
+            )
         finalize_mode = "skipped"
         if changed or not (
             os.path.isdir(f"{index_dir}/dictionary")
@@ -645,7 +686,10 @@ class IndexBuilder:
         prev_snap = int(prev_manifest.get("snapshot_id", 0))
         snap = prev_snap + 1 if changed or not prev_snap else prev_snap
 
-        built = self._shard_metrics(spark, index_dir, pending) if pending else {}
+        built = {}
+        if metrics_fut is not None:
+            built = metrics_fut.result()
+            metrics_pool.shutdown()
         mark("shard_metrics")
         # append mode keeps every untouched shard's entry; full mode
         # keeps only shards present in the input (orphans dropped)
@@ -810,41 +854,46 @@ class IndexBuilder:
                     "using this index"
                 )
             fmark("clash")
-            if pending is not None:
-                tmp = f"{index_dir}/.dictionary_compact_tmp"
-                shutil.rmtree(tmp, ignore_errors=True)
-                dict_df.write.mode("overwrite").parquet(tmp)
-                old = f"{index_dir}/.dictionary_old"
-                shutil.rmtree(old, ignore_errors=True)
-                marker = f"{index_dir}/.dictionary_swap.marker"
-                with open(marker, "w") as fh:
-                    json.dump({"artifact": "dictionary"}, fh)
-                os.rename(f"{index_dir}/dictionary", old)
-                os.rename(tmp, f"{index_dir}/dictionary")
-                os.remove(marker)
-                shutil.rmtree(old, ignore_errors=True)
-            else:
-                dict_df.write.mode("overwrite").parquet(
-                    f"{index_dir}/dictionary"
-                )
+
+            def write_dictionary() -> None:
+                if pending is not None:
+                    tmp = f"{index_dir}/.dictionary_compact_tmp"
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    dict_df.write.mode("overwrite").parquet(tmp)
+                    old = f"{index_dir}/.dictionary_old"
+                    shutil.rmtree(old, ignore_errors=True)
+                    marker = f"{index_dir}/.dictionary_swap.marker"
+                    with open(marker, "w") as fh:
+                        json.dump({"artifact": "dictionary"}, fh)
+                    os.rename(f"{index_dir}/dictionary", old)
+                    os.rename(tmp, f"{index_dir}/dictionary")
+                    os.remove(marker)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    dict_df.write.mode("overwrite").parquet(
+                        f"{index_dir}/dictionary"
+                    )
+
             # reversed-term dictionary: the Lucene
             # ReversedWildcardFilter analog — leading wildcards (*fix)
             # become a PREFIX range scan over rev_term, pushed to the
             # parquet source like the forward prefix path
             # (query.expand_suffix). Sorted by (field, rev_term) so
             # row-group min/max stats prune the range.
-            (
-                dict_df.select(
-                    "field",
-                    F.reverse(F.col("term")).alias("rev_term"),
-                    "term",
-                    "term_id",
-                    "df",
+            def write_rev() -> None:
+                (
+                    dict_df.select(
+                        "field",
+                        F.reverse(F.col("term")).alias("rev_term"),
+                        "term",
+                        "term_id",
+                        "df",
+                    )
+                    .sortWithinPartitions("field", "rev_term")
+                    .write.mode("overwrite")
+                    .parquet(f"{index_dir}/dictionary_rev")
                 )
-                .sortWithinPartitions("field", "rev_term")
-                .write.mode("overwrite")
-                .parquet(f"{index_dir}/dictionary_rev")
-            )
+
             # character-3-gram -> term artifact: sub-linear fuzzy
             # candidate generation (VERDICT r4 #6). expand_fuzzy's
             # uncached path previously scanned the full same-field
@@ -858,26 +907,46 @@ class IndexBuilder:
             # it too — O(vocab), the same cost class as the dictionary
             # swap itself). ~(avg term len - 2) x dictionary rows of
             # (field, gram, term, df) — small next to postings.
-            (
-                dict_df.filter(F.length("term") >= 3)
-                .select(
-                    "field",
-                    "term",
-                    "df",
-                    F.explode(
-                        F.array_distinct(
-                            F.expr(
-                                "transform(sequence(1, length(term) - 2),"
-                                " i -> substring(term, i, 3))"
+            def write_ngrams() -> None:
+                (
+                    dict_df.filter(F.length("term") >= 3)
+                    .select(
+                        "field",
+                        "term",
+                        "df",
+                        F.explode(
+                            F.array_distinct(
+                                F.expr(
+                                    "transform(sequence(1, length(term) - 2),"
+                                    " i -> substring(term, i, 3))"
+                                )
                             )
-                        )
-                    ).alias("gram"),
+                        ).alias("gram"),
+                    )
+                    .repartitionByRange(F.col("field"), F.col("gram"))
+                    .sortWithinPartitions("field", "gram")
+                    .write.mode("overwrite")
+                    .parquet(f"{index_dir}/dictionary_ngrams")
                 )
-                .repartitionByRange(F.col("field"), F.col("gram"))
-                .sortWithinPartitions("field", "gram")
-                .write.mode("overwrite")
-                .parquet(f"{index_dir}/dictionary_ngrams")
-            )
+
+            # the three artifact writes all consume the checkpointed
+            # vocab and are independent jobs — submit them from a
+            # small thread pool so the later jobs back-fill executor
+            # cores idled by the earlier jobs' tails (guide §2.6);
+            # finalize was job-count-bound, not data-bound. Crash
+            # non-atomicity across the three is unchanged from the
+            # sequential ordering (rev/ngrams are re-derived every
+            # finalize; only the dictionary swap is marker-bracketed).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(write_dictionary),
+                    pool.submit(write_rev),
+                    pool.submit(write_ngrams),
+                ]
+                for fut in futs:
+                    fut.result()
             fmark("dict+rev+ngram writes")
         finally:
             dict_df.unpersist()  # releases the checkpoint blocks
