@@ -260,35 +260,49 @@ def _build_ann_locked(
     # salting keeps the file count bounded at ~_FILE_SALT per
     # bucket while giving pruned scans of a skew-hot bucket
     # _FILE_SALT-way read parallelism.
-    (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            *attrs,
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        .transform(lambda d: _salted(d, "bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/{lsh_dir}")
-    )
-    if kmeans_iters > 0:
-        from gxdindexer_spark.operators.similarity import (
-            train_centroids_kmeans,
+    # The LSH and IVF artifacts are independent jobs over the same
+    # input — the LSH write runs from a thread while centroids
+    # resolve and the IVF artifact builds (guide §2.6); joined before
+    # the meta commit.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_lsh() -> None:
+        (
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                *attrs,
+                lsh_signature(F.col(vec_col), planes).alias("bucket"),
+            )
+            .transform(lambda d: _salted(d, "bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/{lsh_dir}")
         )
 
-        centroids = train_centroids_kmeans(
-            emb, n_centroids, kmeans_iters, id_col, vec_col
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        lsh_fut = pool.submit(write_lsh)
+        if kmeans_iters > 0:
+            from gxdindexer_spark.operators.similarity import (
+                train_centroids_kmeans,
+            )
+
+            centroids = train_centroids_kmeans(
+                emb, n_centroids, kmeans_iters, id_col, vec_col
+            )
+        else:
+            # n_vectors rides in from the fingerprint agg — no count job
+            centroids = sample_centroids(
+                emb, n_centroids, id_col, vec_col, n_total=n_vectors
+            )
+        (
+            ivf_assign(emb, centroids, id_col, vec_col, attr_cols)
+            .transform(lambda d: _salted(d, "ivf_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{index_dir}/{ivf_dir}")
         )
-    else:
-        centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
-    (
-        ivf_assign(emb, centroids, id_col, vec_col, attr_cols)
-        .transform(lambda d: _salted(d, "ivf_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("ivf_bucket")
-        .parquet(f"{index_dir}/{ivf_dir}")
-    )
+        lsh_fut.result()
     # per-cell occupancy at build time — the baseline the append
     # path's drift metric compares against (read back from the
     # written parquet: counting partition rows is metadata-cheap

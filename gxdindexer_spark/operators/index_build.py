@@ -1075,22 +1075,24 @@ def delete_docs(
             scoped = store.filter(
                 F.col("shard").isin(sorted({i // dps for i in ids}))
             )
+    # one pass answers both questions (tombstones per shard AND shard
+    # totals): the former two sequential jobs scanned the same scoped
+    # rows twice
     hit = (
-        scoped.filter(F.col("doc_id").isin(ids))
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_del"))
+        scoped.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("doc_id").isin(ids), F.lit(1))
+            ).alias("n_del"),
+        )
+        .filter(F.col("n_del") > 0)
         .collect()
     )
     if not hit:
         return {"docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0}
     affected = {int(r["shard"]): int(r["n_del"]) for r in hit}
-    totals = {
-        int(r["shard"]): int(r["n"])
-        for r in scoped.filter(F.col("shard").isin(sorted(affected)))
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    totals = {int(r["shard"]): int(r["n"]) for r in hit}
     emptied = {s for s, n in affected.items() if n == totals[s]}
     rebuild = sorted(set(affected) - emptied)
     # survivors materialize BEFORE the build wipes their partitions
@@ -1189,13 +1191,18 @@ def update_docs(
             scoped = store.filter(
                 F.col("shard").isin(sorted({i // dps for i in ids}))
             )
-    affected = sorted(
-        int(r["shard"])
-        for r in scoped.filter(F.col("doc_id").isin(ids))
-        .select("shard")
-        .distinct()
+    # one job yields the affected shards AND the updated-doc count
+    # (doc_id is unique in the store, so rows hit == docs updated);
+    # the former shape paid a distinct-collect here plus a semi-join
+    # count after the merge
+    hit = (
+        scoped.filter(F.col("doc_id").isin(ids))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
         .collect()
     )
+    affected = sorted(int(r["shard"]) for r in hit)
+    n_updated = int(sum(r["n"] for r in hit))
     if not affected:
         return {"docs_updated": 0, "shards_rebuilt": 0}
     upd_pdf = pd.DataFrame(
@@ -1228,7 +1235,6 @@ def update_docs(
     # materialize BEFORE the rewrite wipes the source partitions
     # (same self-read hazard delete_docs guards against)
     merged = merged.localCheckpoint()
-    n_updated = merged.join(F.broadcast(upd), "doc_id", "semi").count()
     with open(f"{index_dir}/manifest.json") as fh:
         indexed = set(json.load(fh).get("fields") or {})
     if set(upd_cols) & indexed:

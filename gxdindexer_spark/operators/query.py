@@ -1748,7 +1748,15 @@ class IndexQueryEngine:
         independent of corpus size.
 
         -> (doc_id, term, tf, df), ordered (doc_id asc, tf desc,
-        term asc)."""
+        term asc).
+
+        The re-analysis itself runs DRIVER-side: the payload is k
+        stored texts (a bounded point read — the same O(k) class as
+        ``fetch_topk``'s hit collect), and the former distributed
+        shape cost four extra driver-blocking jobs (mapInPandas
+        materialize + checkpoint + distinct-collect + broadcast join)
+        to tokenize a handful of documents. Solr's own handler
+        re-analyzes server-side for exactly this response."""
         if field not in self.fields:
             raise ValueError(
                 f"field {field!r} is not indexed (has: "
@@ -1762,53 +1770,35 @@ class IndexQueryEngine:
                 T.StructField("doc_id", T.LongType(), False),
                 T.StructField("term", T.StringType(), False),
                 T.StructField("tf", T.LongType(), False),
+                T.StructField("df", T.LongType(), True),
             ]
         )
         if not ids:
-            return _empty_df(self.spark, out_schema).withColumn(
-                "df", F.lit(None).cast("long")
-            )
+            return _empty_df(self.spark, out_schema)
         analyzer = self.fields[field]
-        store = self.get_docs(ids, columns=(field,))
+        rows = self.get_docs(ids, columns=(field,)).collect()
+        if not rows:
+            return _empty_df(self.spark, out_schema)
+        from collections import Counter
 
-        def analyze_tv(batches):
-            from collections import Counter
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                toks = analyze.TOKENIZERS[analyzer](
-                    pdf[field].fillna("")
-                )
-                recs = []
-                for doc, ts in zip(pdf["doc_id"], toks):
-                    for t, n in Counter(ts).items():
-                        recs.append((int(doc), t, int(n)))
-                yield pd.DataFrame(
-                    recs, columns=["doc_id", "term", "tf"]
-                ).astype({"doc_id": "int64", "tf": "int64"})
-
-        tv = store.mapInPandas(analyze_tv, schema=out_schema)
-        tv = tv.localCheckpoint()  # reused for distinct + final join
-        terms = sorted(
-            r["term"] for r in tv.select("term").distinct().collect()
+        toks = analyze.TOKENIZERS[analyzer](
+            pd.Series([r[field] or "" for r in rows])
         )
+        per_doc = [
+            (int(r["doc_id"]), Counter(ts)) for r, ts in zip(rows, toks)
+        ]
+        terms = sorted({t for _d, c in per_doc for t in c})
         if not terms:
-            return _empty_df(self.spark, out_schema).withColumn(
-                "df", F.lit(None).cast("long")
-            )
+            return _empty_df(self.spark, out_schema)
         dfs = self._lookup_stats([(field, t) for t in terms])
-        df_map = pd.DataFrame(
-            {
-                "term": terms,
-                "df": [int(dfs.get((field, t), 0)) for t in terms],
-            }
-        )
-        df_rel = self.spark.createDataFrame(df_map)
-        return (
-            tv.join(F.broadcast(df_rel), "term")
-            .select("doc_id", "term", "tf", "df")
-            .orderBy("doc_id", F.desc("tf"), F.asc("term"))
+        recs = [
+            (doc, t, int(n), int(dfs.get((field, t), 0)))
+            for doc, c in per_doc
+            for t, n in c.items()
+        ]
+        pdf = pd.DataFrame(recs, columns=["doc_id", "term", "tf", "df"])
+        return self.spark.createDataFrame(pdf, out_schema).orderBy(
+            "doc_id", F.desc("tf"), F.asc("term")
         )
 
     def facet_counts(

@@ -239,10 +239,13 @@ def sample_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_total: int | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse centroids: an evenly-strided id sample
-    (IVF-flat demo; swap for k-means at scale — assignment is the same)."""
-    n = emb.count()
+    (IVF-flat demo; swap for k-means at scale — assignment is the same).
+    ``n_total``: the corpus row count when the caller already knows it
+    (e.g. from the build fingerprint) — skips a count job."""
+    n = emb.count() if n_total is None else int(n_total)
     stride = max(n // n_centroids, 1)
     rows = (
         emb.filter((F.col(id_col) % stride == 0))
