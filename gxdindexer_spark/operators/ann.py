@@ -302,20 +302,21 @@ def _build_ann_locked(
             .partitionBy("ivf_bucket")
             .parquet(f"{index_dir}/{ivf_dir}")
         )
+        # per-cell occupancy at build time — the baseline the append
+        # path's drift metric compares against (read back from the
+        # written parquet: counting partition rows is metadata-cheap
+        # next to recomputing the assignment matmul); runs inside the
+        # pool block so it overlaps the LSH write's tail
+        ivf_build_counts = {
+            str(r["ivf_bucket"]): int(r["n"])
+            for r in emb.sparkSession.read.parquet(
+                f"{index_dir}/{ivf_dir}"
+            )
+            .groupBy("ivf_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         lsh_fut.result()
-    # per-cell occupancy at build time — the baseline the append
-    # path's drift metric compares against (read back from the
-    # written parquet: counting partition rows is metadata-cheap
-    # next to recomputing the assignment matmul)
-    ivf_build_counts = {
-        str(r["ivf_bucket"]): int(r["n"])
-        for r in emb.sparkSession.read.parquet(
-            f"{index_dir}/{ivf_dir}"
-        )
-        .groupBy("ivf_bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     meta = {
         "fingerprint": fingerprint,
         "n_vectors": n_vectors,

@@ -171,20 +171,14 @@ class IndexQueryEngine:
         # once per engine instead of once per query — at 10^6 shard
         # dirs the per-query listing would dominate latency.
         self._postings = spark.read.parquet(f"{index_dir}/postings")
-        self._dictionary = spark.read.parquet(f"{index_dir}/dictionary")
-        self._dictionary_rev = (
-            spark.read.parquet(f"{index_dir}/dictionary_rev")
-            if os.path.isdir(f"{index_dir}/dictionary_rev")
-            else None
-        )
-        # char-3-gram -> term artifact (finalize-derived, never stale):
-        # sub-linear fuzzy candidate generation for big dictionaries;
-        # absent on indexes built before r5 -> length-band fallback
-        self._dict_ngrams = (
-            spark.read.parquet(f"{index_dir}/dictionary_ngrams")
-            if os.path.isdir(f"{index_dir}/dictionary_ngrams")
-            else None
-        )
+        # the three dictionary relations are LAZY (cached properties
+        # below): creating a parquet relation is a driver-blocking
+        # footer/schema read, and most queries never touch them — the
+        # preload cache answers term lookups, and rev/ngrams only
+        # serve leading-wildcard/fuzzy rewrites
+        self._dictionary_df: DataFrame | None = None
+        self._dictionary_rev_df: DataFrame | str | None = "unset"
+        self._dict_ngrams_df: DataFrame | str | None = "unset"
         self._dict_cache: dict[tuple[str, str], int] | None = None
         if preload_dictionary:
             # footer row counts first (metadata-only), full read only
@@ -224,6 +218,38 @@ class IndexQueryEngine:
         # the stored bounds are stale and pruning would be UNSAFE — in
         # that case WAND transparently falls back to exact TAAT.
         self.blockmax_safe = self._check_blockmax_safe()
+
+    @property
+    def _dictionary(self) -> DataFrame:
+        if self._dictionary_df is None:
+            self._dictionary_df = self.spark.read.parquet(
+                f"{self.index_dir}/dictionary"
+            )
+        return self._dictionary_df
+
+    @property
+    def _dictionary_rev(self) -> DataFrame | None:
+        """Reversed-term dictionary relation, or None for pre-r5
+        indexes without the artifact (callers raise)."""
+        if isinstance(self._dictionary_rev_df, str):
+            p = f"{self.index_dir}/dictionary_rev"
+            self._dictionary_rev_df = (
+                self.spark.read.parquet(p) if os.path.isdir(p) else None
+            )
+        return self._dictionary_rev_df
+
+    @property
+    def _dict_ngrams(self) -> DataFrame | None:
+        """char-3-gram -> term artifact (finalize-derived, never
+        stale): sub-linear fuzzy candidate generation for big
+        dictionaries; absent on indexes built before r5 ->
+        length-band fallback."""
+        if isinstance(self._dict_ngrams_df, str):
+            p = f"{self.index_dir}/dictionary_ngrams"
+            self._dict_ngrams_df = (
+                self.spark.read.parquet(p) if os.path.isdir(p) else None
+            )
+        return self._dict_ngrams_df
 
     def _read_tiny_artifact(
         self, path: str, columns: list[str]
