@@ -426,17 +426,35 @@ class IndexBuilder:
 
         _recover_compaction(index_dir)
 
-        # input fingerprint per shard: order-insensitive xor/sum over
-        # content hashes — cheap, deterministic, partition-parallel —
+        # input fingerprint per shard: order-insensitive sum over
+        # per-row hashes — cheap, deterministic, partition-parallel —
         # plus the builder-params fingerprint (a param change must
         # invalidate every shard, not silently reuse postings built
-        # under a different config).
+        # under a different config). The row hash covers EVERY indexed
+        # field, not just content (ADVICE r5 high: an update to an
+        # indexed non-content field like lang/path left the shard
+        # fingerprint unchanged, so the rebuild silently skipped and
+        # the new value was never indexed). For single-field
+        # ({'content': ...}) indexes the expression reduces to
+        # crc32(content_sha256) exactly as before — no cache
+        # invalidation for existing indexes of that shape.
         pfp = self._params_fp()
+        nonc = [f for f in sorted(self.fields) if f != "content"]
+        fp_src = F.crc32(
+            F.concat_ws(
+                "\x1f",
+                F.col("content_sha256"),
+                *[
+                    F.coalesce(F.col(f).cast("string"), F.lit(""))
+                    for f in nonc
+                ],
+            )
+        )
         fp = (
             docs.groupBy("shard")
             .agg(
                 F.count("*").alias("n_docs"),
-                F.sum(F.crc32(F.col("content_sha256"))).alias("fp_sum"),
+                F.sum(fp_src).alias("fp_sum"),
             )
             .collect()
         )
@@ -1062,54 +1080,63 @@ def delete_docs(
 
     Idempotent: deleting already-absent ids is a no-op (their shards'
     fingerprints are unchanged, so resume skips them).
+
+    Holds the writer lock around the WHOLE read-plan-rebuild sequence
+    (ADVICE r5: the scan and the survivor checkpoint previously ran
+    before the build acquired the lock, so a concurrent writer could
+    commit between them and have its changes clobbered by the stale
+    snapshot's rebuild).
     """
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return {"docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0}
-    store = spark.read.parquet(f"{index_dir}/docs")
-    scoped = store
-    if assume_dense_shards:
-        with open(f"{index_dir}/manifest.json") as fh:
-            dps = int(json.load(fh).get("docs_per_shard") or 0)
-        if dps:
-            scoped = store.filter(
-                F.col("shard").isin(sorted({i // dps for i in ids}))
+    with _WriterLock(index_dir):
+        store = spark.read.parquet(f"{index_dir}/docs")
+        scoped = store
+        if assume_dense_shards:
+            with open(f"{index_dir}/manifest.json") as fh:
+                dps = int(json.load(fh).get("docs_per_shard") or 0)
+            if dps:
+                scoped = store.filter(
+                    F.col("shard").isin(sorted({i // dps for i in ids}))
+                )
+        # one pass answers both questions (tombstones per shard AND
+        # shard totals): the former two sequential jobs scanned the
+        # same scoped rows twice
+        hit = (
+            scoped.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.count(
+                    F.when(F.col("doc_id").isin(ids), F.lit(1))
+                ).alias("n_del"),
             )
-    # one pass answers both questions (tombstones per shard AND shard
-    # totals): the former two sequential jobs scanned the same scoped
-    # rows twice
-    hit = (
-        scoped.groupBy("shard")
-        .agg(
-            F.count("*").alias("n"),
-            F.count(
-                F.when(F.col("doc_id").isin(ids), F.lit(1))
-            ).alias("n_del"),
+            .filter(F.col("n_del") > 0)
+            .collect()
         )
-        .filter(F.col("n_del") > 0)
-        .collect()
-    )
-    if not hit:
-        return {"docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0}
-    affected = {int(r["shard"]): int(r["n_del"]) for r in hit}
-    totals = {int(r["shard"]): int(r["n"]) for r in hit}
-    emptied = {s for s, n in affected.items() if n == totals[s]}
-    rebuild = sorted(set(affected) - emptied)
-    # survivors materialize BEFORE the build wipes their partitions
-    survivors = (
-        store.filter(F.col("shard").isin(rebuild))
-        .filter(~F.col("doc_id").isin(ids))
-        .localCheckpoint()
-        if rebuild
-        else _empty_like(spark, store.schema)
-    )
-    metrics = builder.build(
-        survivors,
-        index_dir,
-        resume=True,
-        append=True,
-        drop_shards=emptied,
-    )
+        if not hit:
+            return {
+                "docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0
+            }
+        affected = {int(r["shard"]): int(r["n_del"]) for r in hit}
+        totals = {int(r["shard"]): int(r["n"]) for r in hit}
+        emptied = {s for s, n in affected.items() if n == totals[s]}
+        rebuild = sorted(set(affected) - emptied)
+        # survivors materialize BEFORE the build wipes their partitions
+        survivors = (
+            store.filter(F.col("shard").isin(rebuild))
+            .filter(~F.col("doc_id").isin(ids))
+            .localCheckpoint()
+            if rebuild
+            else _empty_like(spark, store.schema)
+        )
+        metrics = builder._build_locked(
+            survivors,
+            index_dir,
+            resume=True,
+            append=True,
+            drop_shards=emptied,
+        )
     metrics.update(
         docs_deleted=sum(affected.values()),
         shards_rebuilt=len(rebuild),
@@ -1144,9 +1171,14 @@ def update_docs(
     When an update touches ``content``, ``content_sha256`` is
     recomputed so the shard fingerprint changes and the resume path
     rebuilds exactly the touched shards (and a replay against an
-    already-updated index is a no-op). Postings, dictionary partials,
-    df/avgdl, block maxima and the doc store all refresh through the
-    same incremental finalize as any shard rebuild.
+    already-updated index is a no-op). Updates to OTHER indexed
+    fields (path/lang-style) change the fingerprint too — the shard
+    row hash covers every indexed field's value (ADVICE r5 high: it
+    previously hashed only content_sha256, so a lang-only update
+    reported success while postings and the doc store silently kept
+    the old value). Postings, dictionary partials, df/avgdl, block
+    maxima and the doc store all refresh through the same incremental
+    finalize as any shard rebuild.
 
     Two execution classes, chosen by what the update touches:
 
@@ -1164,6 +1196,12 @@ def update_docs(
     A single call mixing both classes takes the rebuild path for
     everything (correct, just not minimal).
 
+    Holds the writer lock around the WHOLE read-merge-write sequence
+    in both execution classes (ADVICE r5: the affected-shard scan and
+    the doc-store merge previously ran before the lock, so a
+    concurrent compaction/update could commit in the gap and have its
+    rows clobbered by the stale merged snapshot).
+
     -> builder metrics + {"docs_updated": n, "shards_rebuilt": n}.
     """
     _recover_compaction(index_dir)
@@ -1174,6 +1212,21 @@ def update_docs(
     ids = sorted({int(i) for i in updates})
     if not ids:
         return {"docs_updated": 0, "shards_rebuilt": 0}
+    with _WriterLock(index_dir):
+        return _update_docs_locked(
+            spark, index_dir, builder, updates, ids, assume_dense_shards
+        )
+
+
+def _update_docs_locked(
+    spark: SparkSession,
+    index_dir: str,
+    builder: "IndexBuilder",
+    updates: dict[int, dict],
+    ids: list[int],
+    assume_dense_shards: bool,
+) -> dict:
+    """Body of ``update_docs``; caller holds the writer lock."""
     store = spark.read.parquet(f"{index_dir}/docs")
     store_types = {f.name: f.dataType for f in store.schema.fields}
     upd_cols = sorted({c for u in updates.values() for c in u})
@@ -1238,18 +1291,19 @@ def update_docs(
     with open(f"{index_dir}/manifest.json") as fh:
         indexed = set(json.load(fh).get("fields") or {})
     if set(upd_cols) & indexed:
-        metrics = builder.build(merged, index_dir, resume=True, append=True)
+        metrics = builder._build_locked(
+            merged, index_dir, resume=True, append=True
+        )
     else:
         # stored-only attrs: docvalues-style doc-store partition
-        # rewrite under the writer lock; postings/stats untouched
-        with _WriterLock(index_dir):
-            for s in affected:
-                rows = merged.filter(F.col("shard") == s).drop("shard")
-                key = f"docs__shard={s}"
-                tmp = f"{index_dir}/.{key}_compact_tmp"
-                shutil.rmtree(tmp, ignore_errors=True)
-                rows.repartition(1).write.mode("overwrite").parquet(tmp)
-                _swap_dir_commit(index_dir, f"docs/shard={s}", key)
+        # rewrite; postings/stats untouched (caller holds the lock)
+        for s in affected:
+            rows = merged.filter(F.col("shard") == s).drop("shard")
+            key = f"docs__shard={s}"
+            tmp = f"{index_dir}/.{key}_compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            rows.repartition(1).write.mode("overwrite").parquet(tmp)
+            _swap_dir_commit(index_dir, f"docs/shard={s}", key)
         metrics = {}
     metrics.update(docs_updated=n_updated, shards_rebuilt=len(affected))
     return metrics

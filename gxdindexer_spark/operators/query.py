@@ -93,15 +93,51 @@ _WHERE_CLAUSE_RE = re.compile(
 )
 
 
+def _split_where_clauses(where: str) -> list[str]:
+    """Split a conjunctive predicate on ``and`` separators OUTSIDE
+    single-quoted string literals (ADVICE r5: a legitimate literal
+    like ``lang == 'rock and roll'`` was split mid-string and
+    rejected). Single-pass scan tracking quote state; 'and' matches
+    case-insensitively when bracketed by whitespace."""
+    s = where.strip()
+    low = s.lower()
+    out: list[str] = []
+    cur_start = 0
+    in_quote = False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            in_quote = not in_quote
+            i += 1
+            continue
+        if (
+            not in_quote
+            and low.startswith("and", i)
+            and i > 0
+            and s[i - 1].isspace()
+            and i + 3 < len(s)
+            and s[i + 3].isspace()
+        ):
+            out.append(s[cur_start:i])
+            i += 3
+            cur_start = i
+            continue
+        i += 1
+    out.append(s[cur_start:])
+    return out
+
+
 def _parse_where(where: str) -> list[tuple]:
     """Restricted conjunctive predicate -> pyarrow parquet filter
     tuples (``[("n_chars", "<", 300), ("lang", "==", "en")]``) — the
     same filters shape ``pyarrow.parquet.read_table`` prunes row
     groups with. Supported: ``col OP literal`` clauses joined by
-    ``and``; OP in  < <= > >= == = !=; literals are 'strings', ints,
-    floats. Raises on anything else rather than silently mis-parsing
-    (the wildcard-parser contract)."""
-    clauses = re.split(r"\s+[aA][nN][dD]\s+", where.strip())
+    ``and``; OP in  < <= > >= == = !=; literals are 'strings' (which
+    may themselves contain ``and``), ints, floats. Raises on anything
+    else rather than silently mis-parsing (the wildcard-parser
+    contract)."""
+    clauses = _split_where_clauses(where)
     out: list[tuple] = []
     for c in clauses:
         m = _WHERE_CLAUSE_RE.match(c)
@@ -227,6 +263,10 @@ class IndexQueryEngine:
             )
         return self._dictionary_df
 
+    @_dictionary.setter
+    def _dictionary(self, value) -> None:
+        self._dictionary_df = value
+
     @property
     def _dictionary_rev(self) -> DataFrame | None:
         """Reversed-term dictionary relation, or None for pre-r5
@@ -237,6 +277,10 @@ class IndexQueryEngine:
                 self.spark.read.parquet(p) if os.path.isdir(p) else None
             )
         return self._dictionary_rev_df
+
+    @_dictionary_rev.setter
+    def _dictionary_rev(self, value) -> None:
+        self._dictionary_rev_df = value
 
     @property
     def _dict_ngrams(self) -> DataFrame | None:
@@ -250,6 +294,10 @@ class IndexQueryEngine:
                 self.spark.read.parquet(p) if os.path.isdir(p) else None
             )
         return self._dict_ngrams_df
+
+    @_dict_ngrams.setter
+    def _dict_ngrams(self, value) -> None:
+        self._dict_ngrams_df = value
 
     def _read_tiny_artifact(
         self, path: str, columns: list[str]
@@ -2095,6 +2143,17 @@ class IndexQueryEngine:
 
         -> (bucket_start long, n_docs), one row per non-empty bucket.
         """
+        if gap <= 0:
+            raise ValueError(
+                f"facet.range gap must be positive (got {gap}) — a "
+                "zero/negative gap would divide by zero in the bucket "
+                "assignment"
+            )
+        if end <= start:
+            raise ValueError(
+                f"facet.range needs start < end (got start={start}, "
+                f"end={end})"
+            )
         spec = self.make_spec(query, fields)
         out_schema = T.StructType(
             [
@@ -2469,11 +2528,17 @@ class IndexQueryEngine:
         the same pass — the positional postings are already in hand,
         and speculative windows for shards x k candidates cost
         microseconds next to the scan they piggyback on; the global
-        orderBy/limit then keeps the true top-k. Ranking is exactly
-        ``topk``'s; a hit none of whose ANALYZED query tokens occurs
-        literally (possible only for pure wildcard/fuzzy rewrites
-        whose base token is not itself a dictionary term) has no span
-        and is omitted, as before. ``render=True`` additionally
+        orderBy/limit then keeps the true top-k. A hit none of whose
+        ANALYZED query tokens occurs literally (possible only for
+        pure wildcard/fuzzy rewrites whose base token is not itself a
+        dictionary term) has no span and is omitted BEFORE the global
+        limit — for such non-literal rewrites a lower-ranked
+        with-span doc can therefore fill the freed slot, so the
+        result is ``topk``'s ranking over the docs that HAVE a
+        literal-token span, not always a subset of ``topk(k)``
+        (ADVICE r5). For queries whose tokens are literal dictionary
+        terms (every term scores via its own postings), ranking is
+        exactly ``topk``'s. ``render=True`` additionally
         attaches the window's actual text slice (``snippet`` column)
         via a pruned doc-store point lookup — see
         ``_render_snippets``."""
