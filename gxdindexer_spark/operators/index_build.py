@@ -5,17 +5,20 @@ Pipeline shape (all Arrow-batched, no per-row Python):
   docs (doc_id, shard, content/path/lang, content_sha256)
     -> mapInPandas tokenize+tf            (TERM_FREQS rows, term + term_id)
     -> [strings branch off to the small dict_parts agg here]
-    -> numeric-only repartition(shard, field, term_id, salt) + sort
-    -> mapInPandas group-aware stream encode   (partial posting rows)
-    -> repartition(shard, field, term_id) + stream merge_salted
+    -> numeric-only repartition(shard) + sort(field, term_id, doc_id)
+    -> mapInPandas group-aware stream encode   (FINAL posting rows)
     -> write parquet partitioned by shard
 
 Skew handling (north_rule, SURVEY.md §4.1): stopword-like terms get
-posting lists orders of magnitude longer than the median, so the first
-shuffle is salted with a docID-*range* bucket — sub-lists stay
-disjoint in docID space and the merge is a pure block concatenation in
-salt order, never a re-sort. AQE only fixes *join* skew, not
-groupBy-key skew, hence the explicit salt.
+posting lists orders of magnitude longer than the median, but a
+shard's docID range is bounded by ``docs_per_shard``, so the heaviest
+term contributes at most ``docs_per_shard`` rows to its shard's
+encode group — the same per-group bound the earlier salted two-phase
+(partial encode + ``merge_salted`` concatenation) enforced with a
+docID-range salt, minus that design's second full shuffle and second
+Python pass (guide §2.4: two operations keyed the same way — encode
+and the shard-partitioned write — share one exchange). AQE only fixes
+*join* skew, not groupBy-key skew, hence the explicit bounded key.
 
 The reference analog of this stage is the chunked extract-assemble-load
 loop in GxdResultIndexer.java:900-1268 (chunks == partitions here) with
@@ -42,7 +45,7 @@ from pyspark.sql import types as T
 
 from gxdindexer_spark import schemas
 from gxdindexer_spark.functions import analyze, bm25, hashing
-from gxdindexer_spark.functions.codec import encode_postings, merge_salted
+from gxdindexer_spark.functions.codec import encode_postings
 
 DEFAULT_FIELDS = {"content": "code", "path": "path", "lang": "lang"}
 
@@ -103,63 +106,6 @@ def term_freqs_df(
     return docs.select(*cols).mapInPandas(tok, schema=schema)
 
 
-_PARTIAL_SCHEMA = T.StructType(
-    [
-        T.StructField("shard", T.IntegerType(), False),
-        T.StructField("field", T.StringType(), False),
-        T.StructField("term_id", T.LongType(), False),
-        T.StructField("salt", T.IntegerType(), False),
-        T.StructField("payload", T.BinaryType(), False),
-    ]
-)
-
-
-def _pack_partial(row: dict) -> bytes:
-    """Serialize a partial encoding dict to bytes (json header + bufs)."""
-    head = {
-        k: row[k]
-        for k in (
-            "salt",
-            "df",
-            "cf",
-            "block_first",
-            "block_last",
-            "block_max_tfn",
-            "block_count",
-            "doc_offsets",
-            "tf_offsets",
-            "dl_offsets",
-            "pos_offsets",
-        )
-    }
-    hb = json.dumps(head).encode()
-    return (
-        len(hb).to_bytes(4, "little")
-        + hb
-        + len(row["docs_buf"]).to_bytes(8, "little")
-        + len(row["tfs_buf"]).to_bytes(8, "little")
-        + len(row["dls_buf"]).to_bytes(8, "little")
-        + row["docs_buf"]
-        + row["tfs_buf"]
-        + row["dls_buf"]
-        + row["pos_buf"]
-    )
-
-
-def _unpack_partial(buf: bytes) -> dict:
-    hlen = int.from_bytes(buf[:4], "little")
-    head = json.loads(buf[4 : 4 + hlen].decode())
-    dlen = int.from_bytes(buf[4 + hlen : 12 + hlen], "little")
-    tlen = int.from_bytes(buf[12 + hlen : 20 + hlen], "little")
-    llen = int.from_bytes(buf[20 + hlen : 28 + hlen], "little")
-    p = 28 + hlen
-    head["docs_buf"] = bytes(buf[p : p + dlen])
-    head["tfs_buf"] = bytes(buf[p + dlen : p + dlen + tlen])
-    head["dls_buf"] = bytes(buf[p + dlen + tlen : p + dlen + tlen + llen])
-    head["pos_buf"] = bytes(buf[p + dlen + tlen + llen :])
-    return head
-
-
 def _stream_groups(
     batches: Iterator[pd.DataFrame],
     keys: list[str],
@@ -193,10 +139,13 @@ class IndexBuilder:
     """Builds and persists the index artifacts for a docs DataFrame.
 
     Parameters mirror the scale knobs: ``docs_per_shard`` bounds the
-    docID range per scatter-gather shard; ``salt_range`` bounds the
-    docID range per salted sub-list (so the heaviest term contributes
-    at most ``salt_range`` postings to any one shuffle partition);
+    docID range per scatter-gather shard — and with it both the
+    encode-group size and the per-task work of the single-phase
+    postings encode (pick smaller shards for more build parallelism);
     ``block_size`` is the posting block length (skip-pointer grain).
+    ``salt_range`` is retained for API/manifest-fingerprint
+    compatibility: the docID-range salting it once configured is
+    subsumed by the shard bound (see ``postings_df``).
     """
 
     def __init__(
@@ -251,29 +200,52 @@ class IndexBuilder:
     # ------------------------------------------------------------ build
 
     def postings_df(self, tf: DataFrame, avgdl: dict[str, float]) -> DataFrame:
-        """TERM_FREQS -> final POSTINGS rows (salted two-phase)."""
+        """TERM_FREQS -> final POSTINGS rows (single-phase, shard-keyed).
+
+        ONE shuffle: repartition on shard — the exact key the
+        partitioned write needs, so the write still emits one file per
+        shard dir — with an in-partition sort by (field, term_id,
+        doc_id). Every (shard, field, term_id) group is then
+        contiguous inside one task and the group-aware stream encodes
+        each term's FINAL posting row directly. The salted two-phase
+        this replaces (partial encode keyed on a docID-range salt,
+        then a second shuffle + Python pass to ``merge_salted`` the
+        partials) paid a full extra shuffle of the raw tf bytes plus a
+        payload shuffle to reassemble groups this plan never splits:
+        a shard's docID range is bounded by ``docs_per_shard``, so the
+        heaviest term's encode group is bounded exactly like one
+        term's salted partials were (guide §2.4: operations keyed the
+        same way share one exchange). Rows stay sorted by
+        (field, term_id) in-file, so row-group min/max stats keep
+        pruning term IN-list scans. Per-phase-out equivalence:
+        decoded postings are identical (test_codec asserts
+        merge-of-salted == unsalted encode content); only block
+        boundaries near old salt edges differ, which WAND's
+        block-max pruning treats as metadata (rank-identical,
+        property-tested WAND == TAAT).
+        """
         spark = tf.sparkSession
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         b_avgdl = spark.sparkContext.broadcast(avgdl)
         k1, b_, bs = self.k1, self.b, self.block_size
         with_pos = self.with_positions
-        # drop the term STRING before the wide shuffles: only numeric
+        # drop the term STRING before the shuffle: only numeric
         # columns (plus the tiny field tag) cross the Arrow boundary.
         cols = [
             F.col("shard"),
             F.col("field"),
             F.col("term_id"),
-            (F.col("doc_id") / self.salt_range).cast("int").alias("salt"),
             F.col("doc_id"),
             F.col("tf"),
             F.col("dl"),
         ]
         if self.with_positions:
             cols.append(F.col("positions"))
-        salted = tf.select(*cols)
-        keys = ["shard", "field", "term_id", "salt"]
-        arranged = salted.repartition(n_parts, *keys).sortWithinPartitions(
-            *keys, "doc_id"
+        keys = ["shard", "field", "term_id"]
+        arranged = (
+            tf.select(*cols)
+            .repartition(n_parts, "shard")
+            .sortWithinPartitions(*keys, "doc_id")
         )
 
         def encode_stream(
@@ -287,13 +259,8 @@ class IndexBuilder:
             use_pos = with_pos
 
             def emit(chunk: pd.DataFrame) -> pd.DataFrame:
-                recs = {
-                    k: []
-                    for k in ("shard", "field", "term_id", "salt", "payload")
-                }
-                for (sh, fl, tid, sa), g in chunk.groupby(
-                    ["shard", "field", "term_id", "salt"], sort=False
-                ):
+                rows = []
+                for (sh, fl, tid), g in chunk.groupby(keys, sort=False):
                     tfs = g["tf"].to_numpy(np.uint64)
                     dls = g["dl"].to_numpy(np.uint64)
                     tfn = bm25.tf_norm(
@@ -312,55 +279,15 @@ class IndexBuilder:
                         dls=dls,
                         positions=pos,
                     )
-                    row["salt"] = int(sa)
-                    recs["shard"].append(sh)
-                    recs["field"].append(fl)
-                    recs["term_id"].append(tid)
-                    recs["salt"].append(sa)
-                    recs["payload"].append(_pack_partial(row))
-                return pd.DataFrame(recs)
-
-            yield from _stream_groups(
-                batches, ["shard", "field", "term_id", "salt"], emit
-            )
-
-        partials = arranged.mapInPandas(encode_stream, schema=_PARTIAL_SCHEMA)
-
-        # merge phase: narrow shuffle of already-compressed payloads,
-        # then the same group-aware stream (no per-group pandas-DF
-        # overhead like applyInPandas would pay per term). The shuffle
-        # keys on SHARD ALONE (all of a term's salted partials still
-        # co-locate — shard is a prefix of the old key) so the
-        # partitioned write emits ONE file per shard dir instead of
-        # one per (task x shard) — ~32x fewer postings files, which
-        # cut the per-query pruned scan from 0.37s to 0.07s at sf1.0
-        # (guide §6: small files hurt twice). Rows stay sorted by
-        # (field, term_id) inside each file, so row-group min/max
-        # stats keep pruning term IN-list scans; per-task memory is
-        # unchanged (the merge stream is group-aware, bounded by one
-        # term's partials).
-        merge_keys = ["shard", "field", "term_id"]
-        marranged = partials.repartition(
-            n_parts, "shard"
-        ).sortWithinPartitions(*merge_keys, "salt")
-
-        def merge_stream(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
-            def emit(chunk: pd.DataFrame) -> pd.DataFrame:
-                rows = []
-                for (sh, fl, tid), g in chunk.groupby(merge_keys, sort=False):
-                    m = merge_salted([_unpack_partial(p) for p in g["payload"]])
-                    m.pop("salt", None)
                     rows.append(
-                        {"shard": sh, "field": fl, "term_id": tid, **m}
+                        {"shard": sh, "field": fl, "term_id": tid, **row}
                     )
                 out = pd.DataFrame(rows)
                 return out[[f.name for f in schemas.POSTINGS.fields]]
 
-            yield from _stream_groups(batches, merge_keys, emit)
+            yield from _stream_groups(batches, keys, emit)
 
-        return marranged.mapInPandas(merge_stream, schema=schemas.POSTINGS)
+        return arranged.mapInPandas(encode_stream, schema=schemas.POSTINGS)
 
     # ------------------------------------------------- full build + write
 
@@ -563,7 +490,7 @@ class IndexBuilder:
             # before finalize/ledger commit.
             from concurrent.futures import ThreadPoolExecutor
 
-            bg_pool = ThreadPoolExecutor(max_workers=2)
+            bg_pool = ThreadPoolExecutor(max_workers=3)
             docs_fut = bg_pool.submit(
                 lambda: sub.write.mode("append")
                 .partitionBy("shard")
@@ -576,33 +503,49 @@ class IndexBuilder:
                 sub, self.fields, with_positions=self.with_positions,
                 synonyms=self.synonyms,
             ).persist()
-            # doc_stats + corpus stats from one aggregate each
-            # both small artifacts repartition on shard before the
-            # partitioned write: the agg output is hash-partitioned on
-            # the full group key, so writing it directly would emit one
-            # file per (task x shard) dir — ~32x the files every later
-            # shard-pruned read must open (guide §6)
             doc_stats = (
                 tf.groupBy("doc_id", "field", "shard")
                 .agg(F.first("dl").alias("dl"))
                 .select("doc_id", "field", "dl", "shard")
             )
+            # per-(shard, field) stats of the DELTA: a tiny agg, kept
+            # in the ledger so future builds derive global stats
+            # without scanning doc_stats. This collect is ALSO the
+            # action that materializes the tf cache — one pass through
+            # the (expensive) tokenizer; every artifact write below
+            # then reads the cache and runs OFF the critical path
+            # (guide §2.6: the doc_stats/dict_parts writes back-fill
+            # cores while the postings pipeline runs).
+            for r in (
+                doc_stats.groupBy("shard", "field")
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+                .collect()
+            ):
+                delta_field_stats.setdefault(int(r["shard"]), {})[
+                    r["field"]
+                ] = {"n_docs": int(r["n"]), "sum_dl": int(r["s"])}
+            mark("tokenize+delta_stats")
+            # doc_stats/dict_parts repartition on shard before the
+            # partitioned write: the agg output is hash-partitioned on
+            # the full group key, so writing it directly would emit one
+            # file per (task x shard) dir — ~32x the files every later
+            # shard-pruned read must open (guide §6)
             ds_out = (
                 doc_stats.repartition(F.col("shard")) if wide else doc_stats
             )
-            # this write is ALSO the action that materializes the tf
-            # cache — it must finish before the concurrent dict_parts
-            # job below starts, or both jobs race to compute the
-            # tokenizer lineage
-            ds_out.write.mode("append").partitionBy("shard").parquet(
-                f"{index_dir}/doc_stats"
+            ds_fut = bg_pool.submit(
+                lambda: ds_out.write.mode("append")
+                .partitionBy("shard")
+                .parquet(f"{index_dir}/doc_stats")
             )
             # per-shard dictionary contributions: the ONLY consumer of
             # the term string; partial agg shrinks it to ~vocab rows per
-            # partition before the (small) shuffle. Reads the (now
-            # materialized) tf cache — runs concurrently with the
-            # postings pipeline below; joined before finalize, which
-            # consumes dict_parts.
+            # partition before the (small) shuffle. Reads the
+            # materialized tf cache — runs concurrently with the
+            # postings pipeline below. The incremental finalize merges
+            # the IN-MEMORY ``dp`` (same cached lineage), so it never
+            # waits on this write; the write itself is joined before
+            # the ledger commit.
             dp = tf.groupBy("shard", "field", "term", "term_id").agg(
                 F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
@@ -613,26 +556,17 @@ class IndexBuilder:
                 .partitionBy("shard")
                 .parquet(f"{index_dir}/dict_parts")
             )
-            mark("tokenize+doc_stats_write")
-            # per-(shard, field) stats of the DELTA: tiny agg over the
-            # persisted tf, kept in the ledger so future builds derive
-            # global stats without scanning doc_stats
-            for r in (
-                doc_stats.groupBy("shard", "field")
-                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-                .collect()
-            ):
-                delta_field_stats.setdefault(int(r["shard"]), {})[
-                    r["field"]
-                ] = {"n_docs": int(r["n"]), "sum_dl": int(r["s"])}
             # avgdl must be GLOBAL (all shards incl. previously built):
             # kept shards contribute via their ledger field_stats (no
             # doc_stats scan — O(delta) input); legacy ledgers without
-            # field_stats pay the full scan once
+            # field_stats pay the full scan once (joining the
+            # backgrounded doc_stats write first — that artifact is
+            # the scan's input)
             if stats_incremental or not kept_entries:
                 totals = _field_totals(kept_entries, delta_field_stats)
                 avgdl = {f: t[1] / t[0] for f, t in totals.items() if t[0]}
             else:
+                ds_fut.result()
                 all_stats = spark.read.parquet(f"{index_dir}/doc_stats")
                 cs = (
                     all_stats.groupBy("field")
@@ -645,29 +579,24 @@ class IndexBuilder:
             postings.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/postings"
             )
-            # join the overlapped writes: finalize reads dict_parts,
-            # the ledger commit asserts the doc store is complete, and
-            # tf must stay cached until its last consumer finishes
-            docs_fut.result()
-            dict_parts_fut.result()
-            bg_pool.shutdown()
-            tf.unpersist()
             mark("postings")
         # global stats only change when shards did: a pure no-op resume
         # (the common "is it up to date?" probe) skips the dictionary
         # re-agg + collision check + corpus_stats rewrite entirely.
         changed = bool(pending) or bool(orphans)
-        # per-shard metrics only need postings/doc_stats (written
-        # above) — overlap the scan with finalize's dictionary work
-        # (guide §2.6); joined at the ledger step below
+        # per-shard metrics only need postings (written above) and
+        # doc_stats (write backgrounded; the wrapper joins it first —
+        # by postings-write end it has long finished) — overlap the
+        # scan with finalize's dictionary work (guide §2.6); joined at
+        # the ledger step below
         metrics_fut = None
         if pending:
-            from concurrent.futures import ThreadPoolExecutor
+            def _metrics_after_ds():
+                ds_fut.result()
+                return self._shard_metrics(spark, index_dir, pending)
 
             metrics_pool = ThreadPoolExecutor(max_workers=1)
-            metrics_fut = metrics_pool.submit(
-                self._shard_metrics, spark, index_dir, pending
-            )
+            metrics_fut = metrics_pool.submit(_metrics_after_ds)
         finalize_mode = "skipped"
         if changed or not (
             os.path.isdir(f"{index_dir}/dictionary")
@@ -678,15 +607,31 @@ class IndexBuilder:
                 if (stats_incremental or not kept_entries)
                 else None
             )
+            if pending and not dict_incremental:
+                # full-mode finalize re-aggregates the dict_parts
+                # ARTIFACT — the backgrounded write is its input
+                dict_parts_fut.result()
             finalize_mode = self._finalize_stats(
                 spark,
                 index_dir,
                 pending=pending if dict_incremental else None,
                 old_neg=old_neg,
                 field_totals=field_totals,
+                delta_parts=dp if (dict_incremental and pending) else None,
             )
         metrics["finalize_mode"] = finalize_mode
         mark("finalize")
+        if pending:
+            # join the remaining overlapped writes before the ledger
+            # commit asserts completeness; tf stays cached until its
+            # last consumers (dict_parts write, finalize's checkpoint)
+            # are done
+            docs_fut.result()
+            ds_fut.result()
+            dict_parts_fut.result()
+            bg_pool.shutdown()
+            tf.unpersist()
+            mark("bg_writes_join")
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         # consolidated ledger: one file, one atomic replace, O(1) reads
@@ -790,6 +735,7 @@ class IndexBuilder:
         pending: list[int] | None = None,
         old_neg: DataFrame | None = None,
         field_totals: dict[str, list[int]] | None = None,
+        delta_parts: DataFrame | None = None,
     ) -> str:
         """(Re)derive global dictionary + corpus_stats. Returns the
         mode used ("incremental" or "full").
@@ -830,11 +776,20 @@ class IndexBuilder:
             if old_neg is not None:
                 merged = merged.unionByName(old_neg)
             if pending:
+                # the caller passes the delta's dict-part rows as the
+                # IN-MEMORY DataFrame it just computed (lineage over
+                # the cached tokenizer output) so this merge never
+                # waits on the backgrounded dict_parts artifact write;
+                # the artifact-read fallback (equivalent content: the
+                # pending shards' partitions were wiped and freshly
+                # rewritten this build) serves external callers.
                 delta = (
-                    spark.read.parquet(f"{index_dir}/dict_parts")
-                    .filter(F.col("shard").isin(sorted(pending)))
-                    .select("field", "term", "term_id", "df", "cf")
-                )
+                    delta_parts
+                    if delta_parts is not None
+                    else spark.read.parquet(
+                        f"{index_dir}/dict_parts"
+                    ).filter(F.col("shard").isin(sorted(pending)))
+                ).select("field", "term", "term_id", "df", "cf")
                 merged = merged.unionByName(delta)
             dict_df = (
                 merged.groupBy("field", "term", "term_id")
@@ -857,40 +812,36 @@ class IndexBuilder:
         try:
             # term_id collision check (functions/hashing.py): two
             # distinct terms hashing to one id would silently merge
-            # posting lists. Runs FIRST so a clash aborts before any
-            # artifact is replaced. One global agg on the checkpointed
-            # vocab (distinct ids == distinct terms <=> injective), not
-            # a groupBy+filter shuffle — finalize is job-count-bound.
-            row = dict_df.agg(
-                F.count_distinct(F.struct("field", "term_id")).alias("ids"),
-                F.count_distinct(F.struct("field", "term")).alias("terms"),
-            ).first()
-            if row["ids"] != row["terms"]:
-                raise RuntimeError(
-                    f"{row['terms'] - row['ids']} term_id collisions "
-                    "detected — widen term_id (hashing.py) before "
-                    "using this index"
-                )
-            fmark("clash")
+            # posting lists. One global agg on the checkpointed vocab
+            # (distinct ids == distinct terms <=> injective), not a
+            # groupBy+filter shuffle — finalize is job-count-bound.
+            # The check runs CONCURRENTLY with the artifact writes
+            # below (guide §2.6): every write lands in a tmp dir and
+            # publication (the renames) is gated on the check passing,
+            # so a clash still aborts before any artifact is replaced.
+            def check_clash() -> None:
+                row = dict_df.agg(
+                    F.count_distinct(
+                        F.struct("field", "term_id")
+                    ).alias("ids"),
+                    F.count_distinct(F.struct("field", "term")).alias(
+                        "terms"
+                    ),
+                ).first()
+                if row["ids"] != row["terms"]:
+                    raise RuntimeError(
+                        f"{row['terms'] - row['ids']} term_id collisions "
+                        "detected — widen term_id (hashing.py) before "
+                        "using this index"
+                    )
+
+            tmp_dict = f"{index_dir}/.dictionary_compact_tmp"
+            tmp_rev = f"{index_dir}/.dictionary_rev_tmp"
+            tmp_ngrams = f"{index_dir}/.dictionary_ngrams_tmp"
+            tmp_cs = f"{index_dir}/.corpus_stats_tmp"
 
             def write_dictionary() -> None:
-                if pending is not None:
-                    tmp = f"{index_dir}/.dictionary_compact_tmp"
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    dict_df.write.mode("overwrite").parquet(tmp)
-                    old = f"{index_dir}/.dictionary_old"
-                    shutil.rmtree(old, ignore_errors=True)
-                    marker = f"{index_dir}/.dictionary_swap.marker"
-                    with open(marker, "w") as fh:
-                        json.dump({"artifact": "dictionary"}, fh)
-                    os.rename(f"{index_dir}/dictionary", old)
-                    os.rename(tmp, f"{index_dir}/dictionary")
-                    os.remove(marker)
-                    shutil.rmtree(old, ignore_errors=True)
-                else:
-                    dict_df.write.mode("overwrite").parquet(
-                        f"{index_dir}/dictionary"
-                    )
+                dict_df.write.mode("overwrite").parquet(tmp_dict)
 
             # reversed-term dictionary: the Lucene
             # ReversedWildcardFilter analog — leading wildcards (*fix)
@@ -909,7 +860,7 @@ class IndexBuilder:
                     )
                     .sortWithinPartitions("field", "rev_term")
                     .write.mode("overwrite")
-                    .parquet(f"{index_dir}/dictionary_rev")
+                    .parquet(tmp_rev)
                 )
 
             # character-3-gram -> term artifact: sub-linear fuzzy
@@ -944,67 +895,109 @@ class IndexBuilder:
                     .repartitionByRange(F.col("field"), F.col("gram"))
                     .sortWithinPartitions("field", "gram")
                     .write.mode("overwrite")
-                    .parquet(f"{index_dir}/dictionary_ngrams")
+                    .parquet(tmp_ngrams)
                 )
 
-            # the three artifact writes all consume the checkpointed
-            # vocab and are independent jobs — submit them from a
-            # small thread pool so the later jobs back-fill executor
-            # cores idled by the earlier jobs' tails (guide §2.6);
-            # finalize was job-count-bound, not data-bound. Crash
-            # non-atomicity across the three is unchanged from the
-            # sequential ordering (rev/ngrams are re-derived every
-            # finalize; only the dictionary swap is marker-bracketed).
+            def write_corpus_stats() -> None:
+                if field_totals is not None:
+                    rows = [
+                        (f, int(t[0]), int(t[1]), t[1] / t[0])
+                        for f, t in sorted(field_totals.items())
+                        if t[0]
+                    ]
+                    schema = T.StructType(
+                        [
+                            T.StructField("field", T.StringType(), False),
+                            T.StructField("n_docs", T.LongType(), False),
+                            T.StructField("sum_dl", T.LongType(), False),
+                            T.StructField("avgdl", T.DoubleType(), False),
+                        ]
+                    )
+                    # Arrow path (pandas), NOT createDataFrame(list): a
+                    # python list becomes a 32-partition python RDD whose
+                    # write spawns a Python worker per partition (~7s for
+                    # one row on local[32]); the pandas local relation
+                    # stays JVM-side.
+                    pdf = pd.DataFrame(
+                        rows, columns=["field", "n_docs", "sum_dl", "avgdl"]
+                    )
+                    spark.createDataFrame(pdf, schema).coalesce(
+                        1
+                    ).write.mode("overwrite").parquet(tmp_cs)
+                else:
+                    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+                    (
+                        doc_stats.groupBy("field")
+                        .agg(
+                            F.count("*").alias("n_docs"),
+                            F.sum("dl").alias("sum_dl"),
+                            (F.sum("dl") / F.count("*")).alias("avgdl"),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(tmp_cs)
+                    )
+
+            # the clash check and the four artifact writes all consume
+            # the checkpointed vocab (corpus_stats only its inputs) and
+            # are independent jobs — submit them together so later
+            # jobs back-fill executor cores idled by earlier jobs'
+            # tails (guide §2.6); finalize is job-count-bound, not
+            # data-bound. Everything lands in tmp dirs; the renames
+            # below run only after ALL futures (incl. the clash check)
+            # succeeded, so an abort leaves every published artifact
+            # untouched — strictly more atomic than the sequential
+            # direct-overwrite shape this replaces.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                futs = [
-                    pool.submit(write_dictionary),
-                    pool.submit(write_rev),
-                    pool.submit(write_ngrams),
-                ]
-                for fut in futs:
-                    fut.result()
-            fmark("dict+rev+ngram writes")
+            for d in (tmp_dict, tmp_rev, tmp_ngrams, tmp_cs):
+                shutil.rmtree(d, ignore_errors=True)
+            try:
+                with ThreadPoolExecutor(max_workers=5) as pool:
+                    futs = [
+                        pool.submit(fn)
+                        for fn in (
+                            check_clash,
+                            write_dictionary,
+                            write_rev,
+                            write_ngrams,
+                            write_corpus_stats,
+                        )
+                    ]
+                    for fut in futs:
+                        fut.result()
+            except BaseException:
+                for d in (tmp_dict, tmp_rev, tmp_ngrams, tmp_cs):
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
+            fmark("clash+writes")
+            # publish (renames only). The dictionary swap stays
+            # marker-bracketed (crash recovery replays it); rev/
+            # ngrams/corpus_stats rename into place — they are
+            # re-derived whole at every finalize, so a crash between
+            # renames is recovered by the next finalize exactly as
+            # under the old sequential writes.
+            if os.path.isdir(f"{index_dir}/dictionary"):
+                old = f"{index_dir}/.dictionary_old"
+                shutil.rmtree(old, ignore_errors=True)
+                marker = f"{index_dir}/.dictionary_swap.marker"
+                with open(marker, "w") as fh:
+                    json.dump({"artifact": "dictionary"}, fh)
+                os.rename(f"{index_dir}/dictionary", old)
+                os.rename(tmp_dict, f"{index_dir}/dictionary")
+                os.remove(marker)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(tmp_dict, f"{index_dir}/dictionary")
+            for tmp, name in (
+                (tmp_rev, "dictionary_rev"),
+                (tmp_ngrams, "dictionary_ngrams"),
+                (tmp_cs, "corpus_stats"),
+            ):
+                shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
+                os.rename(tmp, f"{index_dir}/{name}")
+            fmark("publish")
         finally:
             dict_df.unpersist()  # releases the checkpoint blocks
-        if field_totals is not None:
-            rows = [
-                (f, int(t[0]), int(t[1]), t[1] / t[0])
-                for f, t in sorted(field_totals.items())
-                if t[0]
-            ]
-            schema = T.StructType(
-                [
-                    T.StructField("field", T.StringType(), False),
-                    T.StructField("n_docs", T.LongType(), False),
-                    T.StructField("sum_dl", T.LongType(), False),
-                    T.StructField("avgdl", T.DoubleType(), False),
-                ]
-            )
-            # Arrow path (pandas), NOT createDataFrame(list): a python
-            # list becomes a 32-partition python RDD whose write spawns
-            # a Python worker per partition (~7s for one row on
-            # local[32]); the pandas local relation stays JVM-side.
-            pdf = pd.DataFrame(
-                rows, columns=["field", "n_docs", "sum_dl", "avgdl"]
-            )
-            spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{index_dir}/corpus_stats")
-            fmark("corpus_stats_write")
-        else:
-            doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
-            (
-                doc_stats.groupBy("field")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("dl").alias("sum_dl"),
-                    (F.sum("dl") / F.count("*")).alias("avgdl"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{index_dir}/corpus_stats")
-            )
         return mode
 
     def _shard_metrics(
