@@ -78,6 +78,41 @@ def _delta_tag(fp: str) -> str:
     return fp.replace(":", "_").replace("-", "m")
 
 
+def _partition_counts(
+    spark: SparkSession, path: str, part_col: str
+) -> dict[str, int]:
+    """Per-partition row counts of a partitioned parquet artifact from
+    file FOOTERS only (driver-side metadata read, zero Spark jobs —
+    the same class of read as the query engine's ``_count_rows``);
+    falls back to one Spark aggregate for filesystems pyarrow cannot
+    open. Keys are the partition-dir value strings, identical to
+    ``str(row[part_col])`` from the Spark fallback for the integer
+    bucket ids used here."""
+    try:
+        import glob as glob_mod
+
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(path):
+            raise OSError(f"not a local dir: {path}")
+        out: dict[str, int] = {}
+        for d in glob_mod.glob(os.path.join(path, f"{part_col}=*")):
+            val = os.path.basename(d).split("=", 1)[1]
+            out[val] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob_mod.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+    except Exception:  # noqa: BLE001 — non-local fs
+        return {
+            str(r[part_col]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy(part_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+
 def _art_dir(index_dir: str, meta: dict, art: str) -> str:
     """Resolve an artifact root through meta's versioned-dir pointer.
 
@@ -303,19 +338,13 @@ def _build_ann_locked(
             .parquet(f"{index_dir}/{ivf_dir}")
         )
         # per-cell occupancy at build time — the baseline the append
-        # path's drift metric compares against (read back from the
-        # written parquet: counting partition rows is metadata-cheap
-        # next to recomputing the assignment matmul); runs inside the
-        # pool block so it overlaps the LSH write's tail
-        ivf_build_counts = {
-            str(r["ivf_bucket"]): int(r["n"])
-            for r in emb.sparkSession.read.parquet(
-                f"{index_dir}/{ivf_dir}"
-            )
-            .groupBy("ivf_bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # path's drift metric compares against, read back from the
+        # written parquet's file FOOTERS (driver-side metadata only —
+        # no Spark job; previously one full-artifact aggregate job);
+        # runs inside the pool block so it overlaps the LSH write tail
+        ivf_build_counts = _partition_counts(
+            emb.sparkSession, f"{index_dir}/{ivf_dir}", "ivf_bucket"
+        )
         lsh_fut.result()
     meta = {
         "fingerprint": fingerprint,
