@@ -22,6 +22,35 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Preloading daemon (worker_daemon.py): forked Python workers
+    # inherit numpy/pandas/pyarrow via copy-on-write instead of each
+    # importing them on first use (~3 s wall across 32 fresh workers
+    # on the bench box, charged to the first Arrow-UDF stage).  The
+    # daemon is spawned by the JVM with `python -m`, so the module
+    # must be importable from the DAEMON's PYTHONPATH
+    # (sparkPythonPath + function env + the JVM's own process env —
+    # PythonWorkerFactory). That holds exactly when (a) this process
+    # launches the JVM itself (we export PYTHONPATH first, below) and
+    # (b) workers run on this machine (local master). Under
+    # spark-submit (pre-launched gateway, --py-files only reach
+    # sys.path AFTER the fork) or a remote-executor master the import
+    # could fail, so the conf stays off there unless the deployment
+    # ships the package to executors and opts in with
+    # SPARK_GRAFT_WORKER_PRELOAD=1 (0 force-disables).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pypath if pypath else "")
+        )
+    preload = os.environ.get("SPARK_GRAFT_WORKER_PRELOAD")
+    if preload is None:
+        preload_ok = (
+            master.startswith("local")
+            and "PYSPARK_GATEWAY_PORT" not in os.environ
+        )
+    else:
+        preload_ok = preload != "0"
     if shuffle_partitions is None:
         # local[N] -> N; a real cluster should pass ~2-3x total cores.
         shuffle_partitions = (
@@ -41,6 +70,51 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if preload_ok:
+        b = b.config(
+            "spark.python.daemon.module", "gxdindexer_spark.worker_daemon"
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fork the Python worker pool before any operator runs.
+
+    The daemon + one worker per task slot otherwise spawn lazily on
+    the session's FIRST Arrow-UDF stage (~2.4 s wall on the bench box
+    even with the preloading daemon: daemon boot + N forks + Arrow
+    path init), charging session bootstrap to whatever operator
+    happens to run first.  One tiny noop mapInPandas over
+    ``defaultParallelism`` single-row partitions moves that cost to
+    session creation — one task per slot, no input data touched, no
+    result retained (on a cluster this also schedules one task per
+    executor slot, warming every executor's pool).  Guarded so
+    repeated ``get_spark`` calls returning the same session don't
+    re-run it; ``SPARK_GRAFT_WORKER_WARMUP=0`` disables.
+    """
+    if os.environ.get("SPARK_GRAFT_WORKER_WARMUP", "1") == "0":
+        return
+    if getattr(spark, "_gxd_workers_warm", False):
+        return
+    try:
+        n = spark.sparkContext.defaultParallelism
+        spark.sparkContext.setJobDescription("session: python worker warmup")
+        (
+            spark.range(n, numPartitions=n)
+            .mapInPandas(lambda batches: batches, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # pragma: no cover - warmup is best-effort
+        pass
+    finally:
+        try:
+            spark.sparkContext.setJobDescription(None)
+        except Exception:  # pragma: no cover
+            pass
+        spark._gxd_workers_warm = True
