@@ -197,6 +197,46 @@ class IndexBuilder:
         )
         return hashlib.md5(blob.encode()).hexdigest()[:12]
 
+    def _fp_map(self, docs: DataFrame) -> dict[int, str]:
+        """Per-shard input fingerprint of ``docs``: order-insensitive
+        sum over per-row hashes — cheap, deterministic, partition-
+        parallel — plus the builder-params fingerprint (a param change
+        must invalidate every shard, not silently reuse postings built
+        under a different config). The row hash covers EVERY indexed
+        field, not just content (ADVICE r5 high: an update to an
+        indexed non-content field like lang/path left the shard
+        fingerprint unchanged, so the rebuild silently skipped and the
+        new value was never indexed). For single-field
+        ({'content': ...}) indexes the expression reduces to
+        crc32(content_sha256). One Spark job; mutation operators call
+        this concurrently with their own scan/checkpoint jobs and pass
+        the result to ``_build_locked`` as ``precomputed_fp``.
+        """
+        pfp = self._params_fp()
+        nonc = [f for f in sorted(self.fields) if f != "content"]
+        fp_src = F.crc32(
+            F.concat_ws(
+                "\x1f",
+                F.col("content_sha256"),
+                *[
+                    F.coalesce(F.col(f).cast("string"), F.lit(""))
+                    for f in nonc
+                ],
+            )
+        )
+        rows = (
+            docs.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(fp_src).alias("fp_sum"),
+            )
+            .collect()
+        )
+        return {
+            int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}:{pfp}"
+            for r in rows
+        }
+
     # ------------------------------------------------------------ build
 
     def postings_df(self, tf: DataFrame, avgdl: dict[str, float]) -> DataFrame:
@@ -336,6 +376,7 @@ class IndexBuilder:
         resume: bool,
         append: bool = False,
         drop_shards: set[int] | None = None,
+        precomputed_fp: dict[int, str] | None = None,
     ) -> dict:
         spark = docs.sparkSession
         t0 = time.monotonic()
@@ -353,41 +394,17 @@ class IndexBuilder:
 
         _recover_compaction(index_dir)
 
-        # input fingerprint per shard: order-insensitive sum over
-        # per-row hashes — cheap, deterministic, partition-parallel —
-        # plus the builder-params fingerprint (a param change must
-        # invalidate every shard, not silently reuse postings built
-        # under a different config). The row hash covers EVERY indexed
-        # field, not just content (ADVICE r5 high: an update to an
-        # indexed non-content field like lang/path left the shard
-        # fingerprint unchanged, so the rebuild silently skipped and
-        # the new value was never indexed). For single-field
-        # ({'content': ...}) indexes the expression reduces to
-        # crc32(content_sha256) exactly as before — no cache
-        # invalidation for existing indexes of that shape.
-        pfp = self._params_fp()
-        nonc = [f for f in sorted(self.fields) if f != "content"]
-        fp_src = F.crc32(
-            F.concat_ws(
-                "\x1f",
-                F.col("content_sha256"),
-                *[
-                    F.coalesce(F.col(f).cast("string"), F.lit(""))
-                    for f in nonc
-                ],
-            )
-        )
-        fp = (
-            docs.groupBy("shard")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(fp_src).alias("fp_sum"),
-            )
-            .collect()
-        )
-        shard_fp = {
-            int(r["shard"]): f"{r['n_docs']}:{r['fp_sum']}:{pfp}" for r in fp
-        }
+        # input fingerprint per shard (see _fp_map for the contract).
+        # Point mutations (delete/update) pass ``precomputed_fp``:
+        # the same agg, computed by the caller CONCURRENTLY with its
+        # own scan/checkpoint jobs (guide §2.6), so the serial
+        # fingerprint job disappears from the mutation critical path
+        # while the resume gate below stays byte-identical (replayed
+        # no-op mutations still skip with shards_built == 0).
+        if precomputed_fp is not None:
+            shard_fp = dict(precomputed_fp)
+        else:
+            shard_fp = self._fp_map(docs)
         mark("fingerprint")
         done = self._read_ledger(index_dir)
         # orphaned shards: present in artifacts/ledger but absent from
@@ -401,8 +418,11 @@ class IndexBuilder:
         pending = sorted(
             s
             for s, f in shard_fp.items()
-            if not (resume and done.get(s, {}).get("input_fingerprint") == f
-                    and done.get(s, {}).get("status") == "done")
+            if not (
+                resume
+                and done.get(s, {}).get("input_fingerprint") == f
+                and done.get(s, {}).get("status") == "done"
+            )
         )
         # ---- incremental-finalize eligibility (north_rule: an append
         # or streaming micro-batch must not pay O(index) to commit).
@@ -1086,17 +1106,17 @@ def delete_docs(
     with _WriterLock(index_dir):
         store = spark.read.parquet(f"{index_dir}/docs")
         scoped = store
+        candidates: list[int] | None = None
         if assume_dense_shards:
             with open(f"{index_dir}/manifest.json") as fh:
                 dps = int(json.load(fh).get("docs_per_shard") or 0)
             if dps:
-                scoped = store.filter(
-                    F.col("shard").isin(sorted({i // dps for i in ids}))
-                )
+                candidates = sorted({i // dps for i in ids})
+                scoped = store.filter(F.col("shard").isin(candidates))
         # one pass answers both questions (tombstones per shard AND
         # shard totals): the former two sequential jobs scanned the
         # same scoped rows twice
-        hit = (
+        hit_query = (
             scoped.groupBy("shard")
             .agg(
                 F.count("*").alias("n"),
@@ -1105,8 +1125,27 @@ def delete_docs(
                 ).alias("n_del"),
             )
             .filter(F.col("n_del") > 0)
-            .collect()
         )
+        surv_all = None
+        if candidates is not None:
+            # dense layout: the candidate shards are known driver-side
+            # without the tombstone counts, so the survivor snapshot
+            # (and its fingerprint agg, which gates the rebuild) run
+            # CONCURRENTLY with the count job instead of behind it
+            # (guide §2.6). Emptied/unaffected candidate shards carry
+            # zero/unchanged rows and fall out via the drop path / the
+            # fingerprint gate exactly as before.
+            from concurrent.futures import ThreadPoolExecutor
+
+            surv_q = scoped.filter(~F.col("doc_id").isin(ids))
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                surv_fut = pool.submit(surv_q.localCheckpoint)
+                fp_fut = pool.submit(builder._fp_map, surv_q)
+                hit = hit_query.collect()
+                surv_all = surv_fut.result()
+                surv_fp = fp_fut.result()
+        else:
+            hit = hit_query.collect()
         if not hit:
             return {
                 "docs_deleted": 0, "shards_rebuilt": 0, "shards_dropped": 0
@@ -1116,19 +1155,29 @@ def delete_docs(
         emptied = {s for s, n in affected.items() if n == totals[s]}
         rebuild = sorted(set(affected) - emptied)
         # survivors materialize BEFORE the build wipes their partitions
-        survivors = (
-            store.filter(F.col("shard").isin(rebuild))
-            .filter(~F.col("doc_id").isin(ids))
-            .localCheckpoint()
-            if rebuild
-            else _empty_like(spark, store.schema)
-        )
+        if surv_all is not None:
+            survivors = (
+                surv_all.filter(F.col("shard").isin(rebuild))
+                if rebuild
+                else _empty_like(spark, store.schema)
+            )
+            pre_fp = {s: f for s, f in surv_fp.items() if s in rebuild}
+        else:
+            survivors = (
+                store.filter(F.col("shard").isin(rebuild))
+                .filter(~F.col("doc_id").isin(ids))
+                .localCheckpoint()
+                if rebuild
+                else _empty_like(spark, store.schema)
+            )
+            pre_fp = None
         metrics = builder._build_locked(
             survivors,
             index_dir,
             resume=True,
             append=True,
             drop_shards=emptied,
+            precomputed_fp=pre_fp,
         )
     metrics.update(
         docs_deleted=sum(affected.values()),
@@ -1229,28 +1278,26 @@ def _update_docs_locked(
                 f"update column {c!r} is not in the doc store "
                 f"(has: {sorted(store_types)})"
             )
+    with open(f"{index_dir}/manifest.json") as fh:
+        manifest = json.load(fh)
+    indexed = set(manifest.get("fields") or {})
+    rebuild_class = bool(set(upd_cols) & indexed)
     scoped = store
+    candidates: list[int] | None = None
     if assume_dense_shards:
-        with open(f"{index_dir}/manifest.json") as fh:
-            dps = int(json.load(fh).get("docs_per_shard") or 0)
+        dps = int(manifest.get("docs_per_shard") or 0)
         if dps:
-            scoped = store.filter(
-                F.col("shard").isin(sorted({i // dps for i in ids}))
-            )
+            candidates = sorted({i // dps for i in ids})
+            scoped = store.filter(F.col("shard").isin(candidates))
     # one job yields the affected shards AND the updated-doc count
     # (doc_id is unique in the store, so rows hit == docs updated);
     # the former shape paid a distinct-collect here plus a semi-join
     # count after the merge
-    hit = (
+    hit_query = (
         scoped.filter(F.col("doc_id").isin(ids))
         .groupBy("shard")
         .agg(F.count("*").alias("n"))
-        .collect()
     )
-    affected = sorted(int(r["shard"]) for r in hit)
-    n_updated = int(sum(r["n"] for r in hit))
-    if not affected:
-        return {"docs_updated": 0, "shards_rebuilt": 0}
     upd_pdf = pd.DataFrame(
         [
             {"doc_id": i, **{c: updates[i].get(c) for c in upd_cols}}
@@ -1258,45 +1305,96 @@ def _update_docs_locked(
         ]
     )
     upd = spark.createDataFrame(upd_pdf).alias("u")
-    rows = store.filter(F.col("shard").isin(affected)).alias("s")
-    merged = rows.join(F.broadcast(upd), "doc_id", "left").select(
-        "doc_id",
-        *[
-            (
-                F.coalesce(
-                    F.col(f"u.{c}").cast(store_types[c]), F.col(f"s.{c}")
-                )
-                if c in upd_cols
-                else F.col(f"s.{c}")
-            ).alias(c)
-            for c in store_types
-            if c != "doc_id"
-        ],
-    )
-    if "content" in upd_cols and "content_sha256" in store_types:
-        merged = merged.withColumn(
-            "content_sha256",
-            F.sha2(F.coalesce("content", F.lit("")), 256),
+
+    def _merged_over(rows_df: DataFrame) -> DataFrame:
+        m = rows_df.alias("s").join(
+            F.broadcast(upd), "doc_id", "left"
+        ).select(
+            "doc_id",
+            *[
+                (
+                    F.coalesce(
+                        F.col(f"u.{c}").cast(store_types[c]),
+                        F.col(f"s.{c}"),
+                    )
+                    if c in upd_cols
+                    else F.col(f"s.{c}")
+                ).alias(c)
+                for c in store_types
+                if c != "doc_id"
+            ],
         )
-    # materialize BEFORE the rewrite wipes the source partitions
-    # (same self-read hazard delete_docs guards against)
-    merged = merged.localCheckpoint()
-    with open(f"{index_dir}/manifest.json") as fh:
-        indexed = set(json.load(fh).get("fields") or {})
-    if set(upd_cols) & indexed:
+        if "content" in upd_cols and "content_sha256" in store_types:
+            m = m.withColumn(
+                "content_sha256",
+                F.sha2(F.coalesce("content", F.lit("")), 256),
+            )
+        return m
+
+    # materialize the merged rows BEFORE the rewrite wipes the source
+    # partitions (same self-read hazard delete_docs guards against)
+    if candidates is not None:
+        # dense layout: the candidate shards are known without the hit
+        # counts, so the merged snapshot (and, for the rebuild class,
+        # its fingerprint agg) run CONCURRENTLY with the count job
+        # (guide §2.6). Both are then narrowed to the truly affected
+        # shards, keeping metrics and the resume gate byte-identical
+        # (a replayed identical update still skips, shards_built == 0).
+        from concurrent.futures import ThreadPoolExecutor
+
+        merged_q = _merged_over(scoped)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ck_fut = pool.submit(merged_q.localCheckpoint)
+            fp_fut = (
+                pool.submit(builder._fp_map, merged_q)
+                if rebuild_class
+                else None
+            )
+            hit = hit_query.collect()
+            merged_all = ck_fut.result()
+            fp_all = fp_fut.result() if fp_fut is not None else None
+        affected = sorted(int(r["shard"]) for r in hit)
+        n_updated = int(sum(r["n"] for r in hit))
+        if not affected:
+            return {"docs_updated": 0, "shards_rebuilt": 0}
+        merged = merged_all.filter(F.col("shard").isin(affected))
+        pre_fp = (
+            {s: f for s, f in fp_all.items() if s in affected}
+            if fp_all is not None
+            else None
+        )
+    else:
+        hit = hit_query.collect()
+        affected = sorted(int(r["shard"]) for r in hit)
+        n_updated = int(sum(r["n"] for r in hit))
+        if not affected:
+            return {"docs_updated": 0, "shards_rebuilt": 0}
+        merged = _merged_over(
+            store.filter(F.col("shard").isin(affected))
+        ).localCheckpoint()
+        pre_fp = None
+    if rebuild_class:
         metrics = builder._build_locked(
-            merged, index_dir, resume=True, append=True
+            merged, index_dir, resume=True, append=True,
+            precomputed_fp=pre_fp,
         )
     else:
         # stored-only attrs: docvalues-style doc-store partition
-        # rewrite; postings/stats untouched (caller holds the lock)
-        for s in affected:
+        # rewrite; postings/stats untouched (caller holds the lock).
+        # Shards are independent (per-shard swap markers) — rewrite
+        # them concurrently (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rewrite(s: int) -> None:
             rows = merged.filter(F.col("shard") == s).drop("shard")
             key = f"docs__shard={s}"
             tmp = f"{index_dir}/.{key}_compact_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             rows.repartition(1).write.mode("overwrite").parquet(tmp)
             _swap_dir_commit(index_dir, f"docs/shard={s}", key)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(_rewrite, affected))
         metrics = {}
     metrics.update(docs_updated=n_updated, shards_rebuilt=len(affected))
     return metrics
