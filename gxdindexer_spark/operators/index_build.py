@@ -510,7 +510,9 @@ class IndexBuilder:
             # before finalize/ledger commit.
             from concurrent.futures import ThreadPoolExecutor
 
-            bg_pool = ThreadPoolExecutor(max_workers=3)
+            # 3 artifact writes + the overlapped finalize below — one
+            # worker each so none queues behind the others
+            bg_pool = ThreadPoolExecutor(max_workers=4)
             docs_fut = bg_pool.submit(
                 lambda: sub.write.mode("append")
                 .partitionBy("shard")
@@ -595,50 +597,84 @@ class IndexBuilder:
                 )
                 avgdl = {r["field"]: float(r["avgdl"]) for r in cs}
             mark("corpus_stats")
+        # global stats only change when shards did: a pure no-op resume
+        # (the common "is it up to date?" probe) skips the dictionary
+        # re-agg + collision check + corpus_stats rewrite entirely.
+        changed = bool(pending) or bool(orphans)
+        run_finalize = changed or not (
+            os.path.isdir(f"{index_dir}/dictionary")
+            and os.path.isdir(f"{index_dir}/corpus_stats")
+        )
+
+        def _run_finalize() -> str:
+            field_totals = (
+                _field_totals(kept_entries, delta_field_stats)
+                if (stats_incremental or not kept_entries)
+                else None
+            )
+            # full-mode finalize with NO kept shards (fresh build, or
+            # resume rebuilding everything): the just-computed dp IS
+            # the whole dict_parts content, so aggregate the in-memory
+            # lineage (cached tf) instead of waiting for the
+            # backgrounded artifact write and re-reading it — the
+            # dictionary work then genuinely overlaps the postings job
+            fresh_full = (
+                bool(pending) and not dict_incremental and not kept_entries
+            )
+            if pending and not dict_incremental and not fresh_full:
+                # full-mode finalize over kept+pending shards
+                # re-aggregates the dict_parts ARTIFACT — the
+                # backgrounded write is its input
+                dict_parts_fut.result()
+            return self._finalize_stats(
+                spark,
+                index_dir,
+                pending=pending if dict_incremental else None,
+                old_neg=old_neg,
+                field_totals=field_totals,
+                delta_parts=(
+                    dp
+                    if (pending and (dict_incremental or fresh_full))
+                    else None
+                ),
+            )
+
+        finalize_mode = "skipped"
+        if pending:
+            # the postings encode+write and finalize's dictionary work
+            # are independent (disjoint artifact dirs; both read the
+            # cached tf / the backgrounded dict_parts write) — run
+            # finalize in a thread CONCURRENTLY with the postings job
+            # (guide §2.6). Failure atomicity is unchanged: the
+            # ledger/manifest commit below still happens only after
+            # BOTH succeed, so a failure in either leaves pending
+            # shards un-committed and the next resume rebuilds them —
+            # exactly the crash contract of the sequential order (the
+            # dictionary swap stays marker-bracketed).
+            fin_fut = (
+                bg_pool.submit(_run_finalize) if run_finalize else None
+            )
             postings = self.postings_df(tf, avgdl)
             postings.write.mode("append").partitionBy("shard").parquet(
                 f"{index_dir}/postings"
             )
             mark("postings")
-        # global stats only change when shards did: a pure no-op resume
-        # (the common "is it up to date?" probe) skips the dictionary
-        # re-agg + collision check + corpus_stats rewrite entirely.
-        changed = bool(pending) or bool(orphans)
-        # per-shard metrics only need postings (written above) and
-        # doc_stats (write backgrounded; the wrapper joins it first —
-        # by postings-write end it has long finished) — overlap the
-        # scan with finalize's dictionary work (guide §2.6); joined at
-        # the ledger step below
-        metrics_fut = None
-        if pending:
+            # per-shard metrics only need postings (written above) and
+            # doc_stats (write backgrounded; the wrapper joins it
+            # first) — overlap the scan with finalize's tail; joined
+            # at the ledger step below
             def _metrics_after_ds():
                 ds_fut.result()
                 return self._shard_metrics(spark, index_dir, pending)
 
             metrics_pool = ThreadPoolExecutor(max_workers=1)
             metrics_fut = metrics_pool.submit(_metrics_after_ds)
-        finalize_mode = "skipped"
-        if changed or not (
-            os.path.isdir(f"{index_dir}/dictionary")
-            and os.path.isdir(f"{index_dir}/corpus_stats")
-        ):
-            field_totals = (
-                _field_totals(kept_entries, delta_field_stats)
-                if (stats_incremental or not kept_entries)
-                else None
-            )
-            if pending and not dict_incremental:
-                # full-mode finalize re-aggregates the dict_parts
-                # ARTIFACT — the backgrounded write is its input
-                dict_parts_fut.result()
-            finalize_mode = self._finalize_stats(
-                spark,
-                index_dir,
-                pending=pending if dict_incremental else None,
-                old_neg=old_neg,
-                field_totals=field_totals,
-                delta_parts=dp if (dict_incremental and pending) else None,
-            )
+            if fin_fut is not None:
+                finalize_mode = fin_fut.result()
+        else:
+            metrics_fut = None
+            if run_finalize:
+                finalize_mode = _run_finalize()
         metrics["finalize_mode"] = finalize_mode
         mark("finalize")
         if pending:
@@ -817,7 +853,15 @@ class IndexBuilder:
                 .filter(F.col("df") > 0)
             )
         else:
-            parts = spark.read.parquet(f"{index_dir}/dict_parts")
+            # full mode: all shards' partials. ``delta_parts`` (when
+            # the caller proves it covers every shard — fresh build,
+            # no kept entries) is the in-memory lineage over the
+            # cached tokenizer output; otherwise read the artifact.
+            parts = (
+                delta_parts
+                if delta_parts is not None
+                else spark.read.parquet(f"{index_dir}/dict_parts")
+            )
             dict_df = parts.groupBy("field", "term", "term_id").agg(
                 F.sum("df").alias("df"), F.sum("cf").alias("cf")
             )
@@ -1025,6 +1069,9 @@ class IndexBuilder:
     ) -> dict[int, dict]:
         if not shards:
             return {}
+        out = self._shard_metrics_arrow(index_dir, shards)
+        if out is not None:
+            return out
         p = (
             spark.read.parquet(f"{index_dir}/postings")
             .filter(F.col("shard").isin(shards))
@@ -1050,6 +1097,76 @@ class IndexBuilder:
                 "n_docs": int(r["n_docs"] or 0),
             }
         return out
+
+    @staticmethod
+    def _shard_metrics_arrow(
+        index_dir: str, shards: list[int]
+    ) -> dict[int, dict] | None:
+        """Driver-side twin of the Spark ledger-metrics aggregation.
+
+        The touched shards' postings/doc_stats partitions are one
+        small file each (the build's write layout), so for a local
+        filesystem the three per-shard aggregates (sum(df), summed
+        posting-buffer bytes, distinct doc count) are a bounded
+        pyarrow read — no Spark job on the commit critical path. The
+        per-shard file-size guard keeps the driver read bounded;
+        anything bigger (or any read error / non-local store) falls
+        back to the Spark aggregation, which is value-identical.
+        """
+        max_bytes = int(
+            os.environ.get("GXDIDX_ARROW_METRICS_MAX", str(256 << 20))
+        )
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            def _files(art: str, s: int) -> list[str]:
+                d = f"{index_dir}/{art}/shard={s}"
+                if not os.path.isdir(d):
+                    return []
+                return [
+                    f"{d}/{fn}"
+                    for fn in os.listdir(d)
+                    if fn.endswith(".parquet")
+                ]
+
+            todo: dict[int, tuple[list[str], list[str]]] = {}
+            total = 0
+            for s in shards:
+                pf, df_ = _files("postings", s), _files("doc_stats", s)
+                for fp_ in pf + df_:
+                    total += os.path.getsize(fp_)
+                todo[int(s)] = (pf, df_)
+            if total > max_bytes:
+                return None
+            out: dict[int, dict] = {}
+            for s, (pf, df_) in todo.items():
+                n_post = by = 0
+                for fp_ in pf:
+                    t = pq.read_table(
+                        fp_, columns=["df", "docs_buf", "tfs_buf"]
+                    )
+                    if t.num_rows:
+                        n_post += int(pc.sum(t.column("df")).as_py() or 0)
+                        for col in ("docs_buf", "tfs_buf"):
+                            by += int(
+                                pc.sum(
+                                    pc.binary_length(t.column(col))
+                                ).as_py()
+                                or 0
+                            )
+                docs: set = set()
+                for fp_ in df_:
+                    t = pq.read_table(fp_, columns=["doc_id"])
+                    docs.update(t.column("doc_id").to_pylist())
+                out[s] = {
+                    "n_postings": n_post,
+                    "bytes": by,
+                    "n_docs": len(docs),
+                }
+            return out
+        except Exception:  # pragma: no cover - fallback to Spark
+            return None
 
     # ------------------------------------------------------------ ledger
 
