@@ -64,13 +64,39 @@ from gxdindexer_spark.operators.similarity import (
 # parallelism of a partition-pruned scan (_FILE_SALT splits per probed
 # bucket, which is what saves a skew-hot bucket).
 _FILE_SALT = 8
+#: scale-adaptive salting (see _salted): rows-per-bucket below which
+#: extra per-bucket files stop paying for their commit overhead
+_SALT_TARGET_ROWS = 4096
 
 
-def _salted(df: DataFrame, part_col: str) -> DataFrame:
+def _salted(
+    df: DataFrame,
+    part_col: str,
+    n_rows: int | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Shuffle on (partition col, vec_id salt) so the partitioned
-    write below emits ~_FILE_SALT files per bucket dir instead of 1."""
+    write below emits ~salt files per bucket dir instead of 1.
+
+    The salt is scale-adaptive when the caller knows the input size
+    (guide §6: file count should track data volume, not a constant):
+    it targets ``_SALT_TARGET_ROWS`` rows per file and caps at
+    ``_FILE_SALT``, so a small corpus writes one file per bucket
+    (bounded commit overhead — 8x fewer files measured to cut the
+    write wall materially on small builds) while a large one keeps
+    the full _FILE_SALT-way pruned-read parallelism per hot bucket.
+    Salt choice only shapes the file layout; artifact CONTENT and
+    every query result are unchanged.
+    """
+    salt = _FILE_SALT
+    if n_rows is not None and n_buckets:
+        per_bucket = max(1, n_rows // max(1, n_buckets))
+        salt = max(
+            1,
+            min(_FILE_SALT, -(-per_bucket // _SALT_TARGET_ROWS)),
+        )
     return df.repartition(
-        F.col(part_col), F.pmod(F.col("vec_id"), F.lit(_FILE_SALT))
+        F.col(part_col), F.pmod(F.col("vec_id"), F.lit(salt))
     )
 
 
@@ -309,7 +335,12 @@ def _build_ann_locked(
                 *attrs,
                 lsh_signature(F.col(vec_col), planes).alias("bucket"),
             )
-            .transform(lambda d: _salted(d, "bucket"))
+            .transform(
+                lambda d: _salted(
+                    d, "bucket", n_rows=n_vectors,
+                    n_buckets=2 ** n_planes,
+                )
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_dir}/{lsh_dir}")
@@ -332,7 +363,12 @@ def _build_ann_locked(
             )
         (
             ivf_assign(emb, centroids, id_col, vec_col, attr_cols)
-            .transform(lambda d: _salted(d, "ivf_bucket"))
+            .transform(
+                lambda d: _salted(
+                    d, "ivf_bucket", n_rows=n_vectors,
+                    n_buckets=n_centroids,
+                )
+            )
             .write.mode("overwrite")
             .partitionBy("ivf_bucket")
             .parquet(f"{index_dir}/{ivf_dir}")
@@ -519,13 +555,23 @@ def append_ann_index(
             .collect()
         }
         (
-            delta_lsh.transform(lambda d: _salted(d, "bucket"))
+            delta_lsh.transform(
+                lambda d: _salted(
+                    d, "bucket", n_rows=n_delta,
+                    n_buckets=2 ** int(meta["n_planes"]),
+                )
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{stage}/lsh")
         )
         (
-            delta_assigned.transform(lambda d: _salted(d, "ivf_bucket"))
+            delta_assigned.transform(
+                lambda d: _salted(
+                    d, "ivf_bucket", n_rows=n_delta,
+                    n_buckets=int(meta["n_centroids"]),
+                )
+            )
             .write.mode("overwrite")
             .partitionBy("ivf_bucket")
             .parquet(f"{stage}/ivf")
