@@ -80,16 +80,24 @@ def _salted(
 
     The salt is scale-adaptive when the caller knows the input size
     (guide §6: file count should track data volume, not a constant):
-    it targets ``_SALT_TARGET_ROWS`` rows per file and caps at
-    ``_FILE_SALT``, so a small corpus writes one file per bucket
-    (bounded commit overhead — 8x fewer files measured to cut the
-    write wall materially on small builds) while a large one keeps
-    the full _FILE_SALT-way pruned-read parallelism per hot bucket.
-    Salt choice only shapes the file layout; artifact CONTENT and
-    every query result are unchanged.
+    small corpora write one file per bucket (bounded commit overhead
+    — 8x fewer files measured to cut the write wall materially on
+    small builds). The full ``_FILE_SALT`` split exists to save a
+    SKEW-HOT bucket (see module docstring), and skew cannot be seen
+    in the mean rows/bucket — so any input big enough that even one
+    hot bucket could hold a multiple of ``_SALT_TARGET_ROWS``
+    (``n_rows >= _FILE_SALT * _SALT_TARGET_ROWS``) keeps the old
+    constant salt unconditionally; only genuinely small builds (where
+    even a fully-skewed bucket reads fine as one file) scale down by
+    the mean. Salt choice only shapes the file layout; artifact
+    CONTENT and every query result are unchanged.
     """
     salt = _FILE_SALT
-    if n_rows is not None and n_buckets:
+    if (
+        n_rows is not None
+        and n_buckets
+        and n_rows < _FILE_SALT * _SALT_TARGET_ROWS
+    ):
         per_bucket = max(1, n_rows // max(1, n_buckets))
         salt = max(
             1,

@@ -36,6 +36,7 @@ import sys
 import shutil
 import time
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -508,8 +509,6 @@ class IndexBuilder:
             # its tasks back-fill cores while tokenization runs
             # (guide §2.6: overlap independent jobs); joined below
             # before finalize/ledger commit.
-            from concurrent.futures import ThreadPoolExecutor
-
             # 3 artifact writes + the overlapped finalize below — one
             # worker each so none queues behind the others
             bg_pool = ThreadPoolExecutor(max_workers=4)
@@ -654,10 +653,25 @@ class IndexBuilder:
             fin_fut = (
                 bg_pool.submit(_run_finalize) if run_finalize else None
             )
-            postings = self.postings_df(tf, avgdl)
-            postings.write.mode("append").partitionBy("shard").parquet(
-                f"{index_dir}/postings"
-            )
+            try:
+                postings = self.postings_df(tf, avgdl)
+                postings.write.mode("append").partitionBy("shard").parquet(
+                    f"{index_dir}/postings"
+                )
+            except BaseException:
+                # a failed postings write must not leave the finalize
+                # thread (or the artifact writes) running past the
+                # writer lock: a retrying writer could otherwise race
+                # its own finalize against this orphaned one on the
+                # same dictionary swap dirs. Join everything
+                # best-effort, then re-raise the original failure.
+                for fut in (fin_fut, docs_fut, ds_fut, dict_parts_fut):
+                    if fut is not None:
+                        try:
+                            fut.result()
+                        except Exception:
+                            pass
+                raise
             mark("postings")
             # per-shard metrics only need postings (written above) and
             # doc_stats (write backgrounded; the wrapper joins it
@@ -1011,8 +1025,6 @@ class IndexBuilder:
             # succeeded, so an abort leaves every published artifact
             # untouched — strictly more atomic than the sequential
             # direct-overwrite shape this replaces.
-            from concurrent.futures import ThreadPoolExecutor
-
             for d in (tmp_dict, tmp_rev, tmp_ngrams, tmp_cs):
                 shutil.rmtree(d, ignore_errors=True)
             try:
@@ -1251,9 +1263,12 @@ def delete_docs(
             # CONCURRENTLY with the count job instead of behind it
             # (guide §2.6). Emptied/unaffected candidate shards carry
             # zero/unchanged rows and fall out via the drop path / the
-            # fingerprint gate exactly as before.
-            from concurrent.futures import ThreadPoolExecutor
-
+            # fingerprint gate exactly as before. Known cost shift: a
+            # fully-no-op replay (every id already absent) now runs
+            # the snapshot/fp jobs it will discard — wall time is
+            # unchanged (they run concurrent with the count that
+            # discovers the no-op) and the work is bounded by the
+            # candidate shards, but it is no longer a single job.
             surv_q = scoped.filter(~F.col("doc_id").isin(ids))
             with ThreadPoolExecutor(max_workers=2) as pool:
                 surv_fut = pool.submit(surv_q.localCheckpoint)
@@ -1457,8 +1472,6 @@ def _update_docs_locked(
         # (guide §2.6). Both are then narrowed to the truly affected
         # shards, keeping metrics and the resume gate byte-identical
         # (a replayed identical update still skips, shards_built == 0).
-        from concurrent.futures import ThreadPoolExecutor
-
         merged_q = _merged_over(scoped)
         with ThreadPoolExecutor(max_workers=2) as pool:
             ck_fut = pool.submit(merged_q.localCheckpoint)
@@ -1500,8 +1513,6 @@ def _update_docs_locked(
         # rewrite; postings/stats untouched (caller holds the lock).
         # Shards are independent (per-shard swap markers) — rewrite
         # them concurrently (guide §2.6).
-        from concurrent.futures import ThreadPoolExecutor
-
         def _rewrite(s: int) -> None:
             rows = merged.filter(F.col("shard") == s).drop("shard")
             key = f"docs__shard={s}"

@@ -146,8 +146,16 @@ def test_adaptive_salt_file_layout(spark, tmp_path):
     big = _salted(emb, "vec_id", n_rows=64 * 4096 * _FILE_SALT,
                   n_buckets=64)
     # repartition expression carries the salt literal; assert via plan
+    import re
+
     plan = big._jdf.queryExecution().logical().toString()
-    assert f"pmod(vec_id, {_FILE_SALT})" in plan or str(_FILE_SALT) in plan
+    assert re.search(rf"pmod\('?vec_id, {_FILE_SALT}\)", plan), plan
+    # skew guard: a large-but-lean-mean input keeps the full salt too
+    # (mean rows/bucket can't see a skew-hot bucket)
+    lean = _salted(emb, "vec_id",
+                   n_rows=_FILE_SALT * 4096 + 1, n_buckets=1024)
+    plan2 = lean._jdf.queryExecution().logical().toString()
+    assert re.search(rf"pmod\('?vec_id, {_FILE_SALT}\)", plan2), plan2
 
 
 def test_mutation_overlap_results_unchanged(spark, tmpdir_idx):
